@@ -1,0 +1,348 @@
+"""Pairwise ICP: the masked ``lax.while_loop`` driver.
+
+TPU-native re-design of the reference engine's iteration loop
+(``PointCloudRegistration/core/icpengine.cpp:117-394``; CLI twin
+``icp_registration.cpp:443-622``). One ICP iteration is:
+
+  1-NN correspondence (target structure built once; the source moves,
+  icpengine.cpp:122) → distances → population mean/σ over all pairs →
+  3-sigma threshold (gui mode widens iteration 1: mean + max(3σ, 0.5·mean),
+  icpengine.cpp:249-255) → inlier mask → RMSE over inliers only (:273-278)
+  → convergence (|ΔRMSE| < tol three consecutive iterations, :286-306) and
+  divergence (RMSE > 1.1·prev, :311-314) checks, both *before* the pose
+  update → masked Kabsch → T_cum = T·T_cum (:342) → transform source.
+
+Where the reference runs data-dependent C++ control flow with dynamic
+inlier subsets, this driver is a single compiled ``lax.while_loop`` over
+fixed-shape state: the inlier set is a 0/1 mask folded into every
+reduction, convergence counters ride in the loop carry exactly like the
+reference's ``no_improvement_count``/``prev_error`` locals
+(icpengine.cpp:156-157), and the full per-iteration history (RMSE, counts,
+cumulative transform, rotation angle, translation norm — what the GUI
+records at icpengine.cpp:349-364) is written into preallocated device
+arrays, enabling the viewer-style iteration replay as a pure function.
+
+Numerical scheme: coordinates are centered on host by an f64 global offset
+(UTM-scale LAS coordinates decompose into offset + local frame exactly as
+the LAS format itself does), and device math runs in f32 by default; the
+recovered transform is re-based to world frame on the way out.
+
+Documented deviation from the reference (SURVEY.md §6.1 quirk 5): on the
+converge path the reference leaves the recorded rotation-angle/translation
+fields uninitialized; we compute them from the recorded (previous)
+cumulative transform.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iterativeclosestpoint_tpu.ops.kabsch import kabsch_masked
+from iterativeclosestpoint_tpu.ops.se3 import apply_transform
+from iterativeclosestpoint_tpu.ops.bruteforce import nn_bruteforce
+
+# Stop reasons (host-readable).
+RUNNING = 0
+CONVERGED = 1
+DIVERGED = 2
+TOO_FEW_VALID = 3
+MAX_ITERATIONS = 4
+
+_STOP_MESSAGES = {
+    CONVERGED: "converged",
+    DIVERGED: "diverged",
+    TOO_FEW_VALID: "insufficient valid pairs",
+    MAX_ITERATIONS: "max iterations reached",
+}
+
+
+@dataclasses.dataclass
+class ICPResult:
+    """Host-side result mirroring the reference's ICPResult + history
+    (icpengine.h:36-60)."""
+
+    success: bool
+    message: str
+    transform: np.ndarray  # (4,4) world-frame cumulative transform
+    rmse: float
+    iterations: int
+    stop_reason: int
+    # Per-iteration history, length == iterations (trimmed).
+    history_rmse: np.ndarray
+    history_valid: np.ndarray
+    history_outliers: np.ndarray
+    history_transform: np.ndarray  # (iterations, 4, 4) world frame
+    history_rotation_deg: np.ndarray
+    history_translation: np.ndarray
+    history_mean_dist: np.ndarray
+    history_std_dist: np.ndarray
+    history_threshold: np.ndarray
+    source_registered: Optional[np.ndarray] = None  # (N,3) world frame
+
+    def iteration_records(self):
+        """History as a list of dicts (the iterationCompleted payload)."""
+        return [
+            {
+                "iteration": i + 1,
+                "rmse": float(self.history_rmse[i]),
+                "valid_points": int(self.history_valid[i]),
+                "outlier_points": int(self.history_outliers[i]),
+                "transform": self.history_transform[i],
+                "rotation_angle_deg": float(self.history_rotation_deg[i]),
+                "translation_norm": float(self.history_translation[i]),
+                "mean_dist": float(self.history_mean_dist[i]),
+                "std_dist": float(self.history_std_dist[i]),
+                "threshold": float(self.history_threshold[i]),
+            }
+            for i in range(self.iterations)
+        ]
+
+
+def iteration_statistics(dist, sigma_multiplier, widen_first, is_first):
+    """Distance statistics + 3-sigma inlier mask for one iteration.
+
+    Mirrors icpengine.cpp:234-278: population mean/σ over *all* pairs,
+    threshold = mean + 3σ (first gui iteration: mean + max(3σ, 0.5·mean)),
+    RMSE over inliers only. Factored out so the sharded path can reuse it
+    with psum-reduced moments (parallel/sharded.py).
+    """
+    f = dist.dtype
+    n = jnp.asarray(dist.shape[0], f)
+    mean = jnp.sum(dist) / n
+    var = jnp.sum((dist - mean) ** 2) / n
+    std = jnp.sqrt(var)
+
+    widened = mean + jnp.maximum(sigma_multiplier * std, mean * 0.5)
+    plain = mean + sigma_multiplier * std
+    threshold = jnp.where(jnp.logical_and(widen_first, is_first), widened, plain)
+
+    valid = dist <= threshold
+    valid_count = jnp.sum(valid, dtype=jnp.int32)
+    sum_sq = jnp.sum(jnp.where(valid, dist * dist, 0.0))
+    rmse = jnp.where(
+        valid_count > 0,
+        jnp.sqrt(sum_sq / jnp.maximum(valid_count, 1).astype(f)),
+        jnp.asarray(0.0, f),
+    )
+    return mean, std, threshold, valid, valid_count, rmse
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nn_fn", "max_iterations", "widen_first"),
+)
+def _icp_core(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    *,
+    nn_fn: Callable,
+    max_iterations: int,
+    tolerance,
+    sigma_multiplier,
+    widen_first: bool,
+):
+    """Compiled ICP loop in the centered local frame. Returns a dict."""
+    f = source.dtype
+    n = source.shape[0]
+    H = max_iterations
+
+    state = {
+        "src": source,
+        "T_cum": jnp.eye(4, dtype=f),
+        "prev_error": jnp.asarray(1e10, f),
+        "no_improve": jnp.asarray(0, jnp.int32),
+        "iter": jnp.asarray(0, jnp.int32),
+        "stop": jnp.asarray(RUNNING, jnp.int32),
+        "recorded": jnp.asarray(0, jnp.int32),
+        "h_rmse": jnp.zeros((H,), f),
+        "h_valid": jnp.zeros((H,), jnp.int32),
+        "h_out": jnp.zeros((H,), jnp.int32),
+        "h_T": jnp.zeros((H, 4, 4), f),
+        "h_mean": jnp.zeros((H,), f),
+        "h_std": jnp.zeros((H,), f),
+        "h_thr": jnp.zeros((H,), f),
+    }
+
+    tol = jnp.asarray(tolerance, f)
+    sig = jnp.asarray(sigma_multiplier, f)
+
+    def cond(s):
+        return jnp.logical_and(s["iter"] < H, s["stop"] == RUNNING)
+
+    def body(s):
+        it = s["iter"]
+        src = s["src"]
+
+        idx, dist = nn_fn(src, target)
+        dst_matched = target[idx]
+
+        mean, std, threshold, valid, valid_count, rmse = iteration_statistics(
+            dist, sig, widen_first, it == 0
+        )
+
+        # Convergence / divergence / degeneracy — checked before the pose
+        # update, in the reference's order (icpengine.cpp:286-323).
+        improvement = s["prev_error"] - rmse
+        small = jnp.abs(improvement) < tol
+        no_improve = jnp.where(small, s["no_improve"] + 1, 0)
+        converged = jnp.logical_and(small, no_improve >= 3)
+        diverged = jnp.logical_and(~converged, rmse > s["prev_error"] * 1.1)
+        too_few = jnp.logical_and(
+            jnp.logical_and(~converged, ~diverged), valid_count < 3
+        )
+        will_update = ~(converged | diverged | too_few)
+
+        # Masked Kabsch — always evaluated (fixed cost), selected below.
+        T = kabsch_masked(src, dst_matched, valid.astype(f))
+        T_cum_new = jnp.where(will_update, T @ s["T_cum"], s["T_cum"])
+        src_new = jnp.where(will_update, apply_transform(T, src), src)
+
+        # History write: converged records the *previous* cumulative
+        # transform (quirk 5); diverged/too_few record nothing.
+        record = jnp.logical_or(will_update, converged)
+        rec_T = jnp.where(converged, s["T_cum"], T_cum_new)
+
+        def wr(arr, val):
+            return jnp.where(record, arr.at[it].set(val), arr)
+
+        stop = jnp.where(
+            converged,
+            CONVERGED,
+            jnp.where(diverged, DIVERGED, jnp.where(too_few, TOO_FEW_VALID, RUNNING)),
+        ).astype(jnp.int32)
+
+        return {
+            "src": src_new,
+            "T_cum": T_cum_new,
+            "prev_error": jnp.where(will_update, rmse, s["prev_error"]),
+            "no_improve": no_improve,
+            "iter": it + 1,
+            "stop": stop,
+            "recorded": s["recorded"] + record.astype(jnp.int32),
+            "h_rmse": wr(s["h_rmse"], rmse),
+            "h_valid": wr(s["h_valid"], valid_count),
+            "h_out": wr(s["h_out"], jnp.asarray(n, jnp.int32) - valid_count),
+            "h_T": jnp.where(record, s["h_T"].at[it].set(rec_T), s["h_T"]),
+            "h_mean": wr(s["h_mean"], mean),
+            "h_std": wr(s["h_std"], std),
+            "h_thr": wr(s["h_thr"], threshold),
+        }
+
+    s = jax.lax.while_loop(cond, body, state)
+    stop = jnp.where(s["stop"] == RUNNING, MAX_ITERATIONS, s["stop"])
+    return {**s, "stop": stop}
+
+
+def _default_nn(nn_backend: str, n: int, m: int) -> Callable:
+    """Pick the NN kernel. 'auto' uses brute force (exact; the hashgrid and
+    Pallas backends plug in here as they land)."""
+    if nn_backend in ("auto", "bruteforce"):
+        return nn_bruteforce  # stable identity → no recompile across calls
+    if nn_backend == "hashgrid":
+        from iterativeclosestpoint_tpu.ops.hashgrid import nn_hashgrid_fn
+
+        return nn_hashgrid_fn()
+    if nn_backend == "pallas":
+        from iterativeclosestpoint_tpu.ops.pallas_nn import nn_pallas
+
+        return lambda q, t: nn_pallas(q, t)
+    raise ValueError(f"unknown nn_backend {nn_backend!r}")
+
+
+def icp_register(
+    source,
+    target,
+    *,
+    max_iterations: int = 50,
+    tolerance: float = 1e-6,
+    sigma_multiplier: float = 3.0,
+    mode: str = "gui",
+    nn_backend: str = "auto",
+    nn_fn: Optional[Callable] = None,
+    dtype=jnp.float32,
+    center: bool = True,
+    return_registered: bool = True,
+) -> ICPResult:
+    """Register ``source`` onto ``target``; returns world-frame results.
+
+    Host-side wrapper: applies the f64 global-offset centering, launches
+    the compiled loop, and re-bases transforms to world frame
+    (T_world = Shift(c) · T_local · Shift(-c)).
+    """
+    source = np.asarray(source, np.float64)
+    target = np.asarray(target, np.float64)
+
+    offset = (
+        (target.min(axis=0) + target.max(axis=0)) / 2.0
+        if center
+        else np.zeros(3)
+    )
+    src_local = jnp.asarray(source - offset, dtype)
+    tgt_local = jnp.asarray(target - offset, dtype)
+
+    if nn_fn is None:
+        nn_fn = _default_nn(nn_backend, len(source), len(target))
+
+    out = _icp_core(
+        src_local,
+        tgt_local,
+        nn_fn=nn_fn,
+        max_iterations=max_iterations,
+        tolerance=tolerance,
+        sigma_multiplier=sigma_multiplier,
+        widen_first=(mode == "gui"),
+    )
+    out = jax.tree.map(np.asarray, out)
+
+    k = int(out["recorded"])
+    stop = int(out["stop"])
+    success = stop != TOO_FEW_VALID
+
+    def rebase(T_local: np.ndarray) -> np.ndarray:
+        """T_world = Shift(offset) @ T_local @ Shift(-offset)."""
+        T = np.asarray(T_local, np.float64).copy()
+        R = T[..., :3, :3]
+        t = T[..., :3, 3]
+        T[..., :3, 3] = t + offset - (R @ offset)
+        return T
+
+    h_T_world = rebase(out["h_T"][:k])
+    rot_deg = np.degrees(
+        np.arccos(
+            np.clip(
+                (np.trace(h_T_world[:, :3, :3], axis1=1, axis2=2) - 1) / 2, -1, 1
+            )
+        )
+    ) if k else np.zeros((0,))
+    t_norm = (
+        np.linalg.norm(h_T_world[:, :3, 3], axis=1) if k else np.zeros((0,))
+    )
+
+    return ICPResult(
+        success=success,
+        message=_STOP_MESSAGES.get(stop, "unknown"),
+        transform=rebase(out["T_cum"]),
+        rmse=float(out["h_rmse"][k - 1]) if k else 0.0,
+        iterations=k,
+        stop_reason=stop,
+        history_rmse=out["h_rmse"][:k],
+        history_valid=out["h_valid"][:k],
+        history_outliers=out["h_out"][:k],
+        history_transform=h_T_world,
+        history_rotation_deg=rot_deg,
+        history_translation=t_norm,
+        history_mean_dist=out["h_mean"][:k],
+        history_std_dist=out["h_std"][:k],
+        history_threshold=out["h_thr"][:k],
+        source_registered=(
+            np.asarray(out["src"], np.float64) + offset
+            if return_registered
+            else None
+        ),
+    )

@@ -1,0 +1,126 @@
+"""Exact brute-force 1-NN search, tiled for TPU memory and the MXU.
+
+Replaces the reference's pointer-chasing octree queries
+(``PointCloudRegistration/core/octree.cpp:128-184``) with what the TPU is
+actually good at: the -2·S·Tᵀ term of the squared distance is a dense
+matmul on the systolic array, so exact all-pairs 1-NN becomes a tiled
+matmul + running min. Queries are processed in fixed-size chunks
+(sequential ``lax.map``) and targets in fixed-size tiles (``lax.scan``
+carry holds the running best), so peak memory is
+O(query_chunk × target_chunk) regardless of cloud size.
+
+Semantics: returns, for every query, the index of the (first) nearest
+target point and the exact distance. The distance is recomputed from the
+gathered winner coordinates to avoid the |s|²-2s·t+|t|² cancellation,
+which only ever affects the *reported* distance, not materially the argmin
+(clouds are pre-centered; see io.las offset handling).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _pad_to(x: jnp.ndarray, n: int, value) -> jnp.ndarray:
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1), constant_values=value)
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("query_chunk", "target_tile", "use_matmul")
+)
+def nn_bruteforce(
+    query: jnp.ndarray,
+    target: jnp.ndarray,
+    *,
+    query_chunk: int = 2048,
+    target_tile: int = 2048,
+    use_matmul: bool = True,
+):
+    """Exact 1-NN of each query point in the target cloud.
+
+    Args:
+      query: (N, 3) query points.
+      target: (M, 3) target points.
+      query_chunk: queries processed per step (bounds memory).
+      target_tile: target tile size per scan step.
+      use_matmul: route the cross term through the MXU (fast); if False,
+        compute explicit differences (slower, more accurate — for tests).
+
+    Returns:
+      (indices (N,) int32, distances (N,) same dtype as query).
+    """
+    n = query.shape[0]
+    m = target.shape[0]
+    dtype = query.dtype
+
+    qc = min(query_chunk, _round_up(n, 8))
+    tt = min(target_tile, _round_up(m, 8))
+    n_pad = _round_up(n, qc)
+    m_pad = _round_up(m, tt)
+
+    # Pad targets with +BIG so padded rows never win the argmin.
+    big = jnp.asarray(3.0e18 if dtype == jnp.float64 else 1.0e18, dtype)
+    q = _pad_to(query, n_pad, 0)
+    t = _pad_to(target, m_pad, 0)
+    t_valid = (jnp.arange(m_pad) < m).astype(dtype)
+
+    t_tiles = t.reshape(m_pad // tt, tt, 3)
+    tv_tiles = t_valid.reshape(m_pad // tt, tt)
+    t_norm_tiles = jnp.sum(t_tiles * t_tiles, axis=-1)  # (n_tiles, tt)
+    tile_ids = jnp.arange(m_pad, dtype=jnp.int32).reshape(m_pad // tt, tt)
+
+    def chunk_fn(q_chunk):
+        q_norm = jnp.sum(q_chunk * q_chunk, axis=-1)  # (qc,)
+
+        def tile_step(carry, tile):
+            best_d2, best_idx = carry
+            t_tile, t_norm, ids, valid = tile
+            if use_matmul:
+                # Precision.HIGHEST: TPU f32 matmuls default to bf16 MXU
+                # passes (~0.2 abs error at 50 m extent), which corrupts the
+                # argmin; HIGHEST requests full-f32 accumulation.
+                cross = jnp.dot(
+                    q_chunk,
+                    t_tile.T,
+                    preferred_element_type=dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (qc, tt) on the MXU
+                d2 = q_norm[:, None] - 2.0 * cross + t_norm[None, :]
+            else:
+                diff = q_chunk[:, None, :] - t_tile[None, :, :]
+                d2 = jnp.sum(diff * diff, axis=-1)
+            d2 = jnp.where(valid[None, :] > 0, d2, big)
+            tile_arg = jnp.argmin(d2, axis=1)
+            tile_min = jnp.take_along_axis(d2, tile_arg[:, None], axis=1)[:, 0]
+            take = tile_min < best_d2
+            best_d2 = jnp.where(take, tile_min, best_d2)
+            best_idx = jnp.where(take, ids[tile_arg], best_idx)
+            return (best_d2, best_idx), None
+
+        init = (
+            jnp.full((q_chunk.shape[0],), big, dtype),
+            jnp.zeros((q_chunk.shape[0],), jnp.int32),
+        )
+        (best_d2, best_idx), _ = jax.lax.scan(
+            tile_step, init, (t_tiles, t_norm_tiles, tile_ids, tv_tiles)
+        )
+        return best_d2, best_idx
+
+    q_chunks = q.reshape(n_pad // qc, qc, 3)
+    _, idx = jax.lax.map(chunk_fn, q_chunks)
+    idx = idx.reshape(n_pad)[:n]
+
+    # Exact distance of the winning pair (no cancellation).
+    diff = query - target[idx]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    return idx, dist
