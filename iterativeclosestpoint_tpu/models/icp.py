@@ -140,6 +140,7 @@ def iteration_statistics(dist, sigma_multiplier, widen_first, is_first):
 def _icp_core(
     source: jnp.ndarray,
     target: jnp.ndarray,
+    nn_state,
     *,
     nn_fn: Callable,
     max_iterations: int,
@@ -179,7 +180,7 @@ def _icp_core(
         it = s["iter"]
         src = s["src"]
 
-        idx, dist = nn_fn(src, target)
+        idx, dist = nn_fn(src, target, nn_state)
         dst_matched = target[idx]
 
         mean, std, threshold, valid, valid_count, rmse = iteration_statistics(
@@ -239,19 +240,40 @@ def _icp_core(
     return {**s, "stop": stop}
 
 
-def _default_nn(nn_backend: str, n: int, m: int) -> Callable:
-    """Pick the NN kernel. 'auto' uses brute force (exact; the hashgrid and
-    Pallas backends plug in here as they land)."""
-    if nn_backend in ("auto", "bruteforce"):
-        return nn_bruteforce  # stable identity → no recompile across calls
+def _brute_adapter(query, target, nn_state):
+    del nn_state
+    return nn_bruteforce(query, target)
+
+
+def _default_nn(
+    nn_backend: str,
+    target_local: np.ndarray,
+    n: int,
+    dtype,
+    grid_resolution: int,
+    cell_capacity,
+):
+    """Pick the NN kernel; returns (nn_fn, nn_state).
+
+    'auto': brute force while the all-pairs work is small (it is exact and
+    rides the MXU); voxel-hash grid beyond — O(N) per iteration vs O(N·M).
+    """
+    m = len(target_local)
+    if nn_backend == "auto":
+        nn_backend = "bruteforce" if n * m <= 2 ** 31 else "hashgrid"
+    if nn_backend == "bruteforce":
+        return _brute_adapter, ()
     if nn_backend == "hashgrid":
-        from iterativeclosestpoint_tpu.ops.hashgrid import nn_hashgrid_fn
+        from iterativeclosestpoint_tpu.ops.hashgrid import make_hashgrid_nn
 
-        return nn_hashgrid_fn()
+        return make_hashgrid_nn(
+            target_local, resolution=grid_resolution, capacity=cell_capacity,
+            dtype=dtype,
+        )
     if nn_backend == "pallas":
-        from iterativeclosestpoint_tpu.ops.pallas_nn import nn_pallas
+        from iterativeclosestpoint_tpu.ops.pallas_nn import pallas_nn_adapter
 
-        return lambda q, t: nn_pallas(q, t)
+        return pallas_nn_adapter, ()
     raise ValueError(f"unknown nn_backend {nn_backend!r}")
 
 
@@ -265,6 +287,9 @@ def icp_register(
     mode: str = "gui",
     nn_backend: str = "auto",
     nn_fn: Optional[Callable] = None,
+    nn_state=(),
+    grid_resolution: int = 64,
+    cell_capacity: Optional[int] = None,
     dtype=jnp.float32,
     center: bool = True,
     return_registered: bool = True,
@@ -287,11 +312,15 @@ def icp_register(
     tgt_local = jnp.asarray(target - offset, dtype)
 
     if nn_fn is None:
-        nn_fn = _default_nn(nn_backend, len(source), len(target))
+        nn_fn, nn_state = _default_nn(
+            nn_backend, target - offset, len(source), dtype,
+            grid_resolution, cell_capacity,
+        )
 
     out = _icp_core(
         src_local,
         tgt_local,
+        nn_state,
         nn_fn=nn_fn,
         max_iterations=max_iterations,
         tolerance=tolerance,
