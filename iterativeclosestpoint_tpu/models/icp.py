@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from iterativeclosestpoint_tpu.ops.kabsch import kabsch_masked
+from iterativeclosestpoint_tpu.ops.kabsch import rigid_from_covariance
 from iterativeclosestpoint_tpu.ops.se3 import apply_transform
 from iterativeclosestpoint_tpu.ops.bruteforce import nn_bruteforce
 
@@ -104,41 +104,60 @@ class ICPResult:
         ]
 
 
-def iteration_statistics(dist, sigma_multiplier, widen_first, is_first):
+def iteration_statistics(dist, weight, sigma_multiplier, widen_first, is_first, ps):
     """Distance statistics + 3-sigma inlier mask for one iteration.
 
     Mirrors icpengine.cpp:234-278: population mean/σ over *all* pairs,
     threshold = mean + 3σ (first gui iteration: mean + max(3σ, 0.5·mean)),
-    RMSE over inliers only. Factored out so the sharded path can reuse it
-    with psum-reduced moments (parallel/sharded.py).
+    RMSE over inliers only.
+
+    ``weight`` is a 0/1 row-validity vector (padding rows excluded — the
+    sharded path pads the source to a device multiple) and ``ps`` is the
+    cross-device reducer: identity on one device, ``psum`` over the mesh
+    axis in the sharded path, so every moment here is a global moment.
     """
     f = dist.dtype
-    n = jnp.asarray(dist.shape[0], f)
-    mean = jnp.sum(dist) / n
-    var = jnp.sum((dist - mean) ** 2) / n
+    n = ps(jnp.sum(weight))
+    mean = ps(jnp.sum(dist * weight)) / n
+    var = ps(jnp.sum(weight * (dist - mean) ** 2)) / n
     std = jnp.sqrt(var)
 
     widened = mean + jnp.maximum(sigma_multiplier * std, mean * 0.5)
     plain = mean + sigma_multiplier * std
     threshold = jnp.where(jnp.logical_and(widen_first, is_first), widened, plain)
 
-    valid = dist <= threshold
-    valid_count = jnp.sum(valid, dtype=jnp.int32)
-    sum_sq = jnp.sum(jnp.where(valid, dist * dist, 0.0))
+    valid = jnp.logical_and(dist <= threshold, weight > 0)
+    valid_count = ps(jnp.sum(valid, dtype=jnp.int32))
+    sum_sq = ps(jnp.sum(jnp.where(valid, dist * dist, 0.0)))
     rmse = jnp.where(
         valid_count > 0,
         jnp.sqrt(sum_sq / jnp.maximum(valid_count, 1).astype(f)),
         jnp.asarray(0.0, f),
     )
-    return mean, std, threshold, valid, valid_count, rmse
+    return mean, std, threshold, valid, valid_count, rmse, n
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("nn_fn", "max_iterations", "widen_first"),
-)
-def _icp_core(
+def _kabsch_global(src, dst, valid, ps):
+    """Two-pass masked Kabsch with cross-device moment reduction.
+
+    Identical math to ops.kabsch.kabsch_masked, but the centroid sums and
+    the 3×3 cross-covariance go through ``ps`` (psum over the mesh) — the
+    TPU-native form of the reduction at icpengine.cpp:82-90.
+    """
+    f = src.dtype
+    hi = jax.lax.Precision.HIGHEST
+    v = valid.astype(f)
+    cnt = ps(jnp.sum(v))
+    inv = jnp.where(cnt > 0, 1.0 / cnt, 0.0)
+    c_s = ps(jnp.dot(v, src, precision=hi)) * inv
+    c_d = ps(jnp.dot(v, dst, precision=hi)) * inv
+    Hm = ps(jnp.dot(((src - c_s) * v[:, None]).T, dst - c_d, precision=hi))
+    return rigid_from_covariance(Hm, c_s, c_d).astype(f)
+
+
+def icp_core_impl(
     source: jnp.ndarray,
+    weight: jnp.ndarray,
     target: jnp.ndarray,
     nn_state,
     *,
@@ -147,11 +166,22 @@ def _icp_core(
     tolerance,
     sigma_multiplier,
     widen_first: bool,
+    axis_name: Optional[str] = None,
 ):
-    """Compiled ICP loop in the centered local frame. Returns a dict."""
+    """The ICP loop in the centered local frame. Returns a dict.
+
+    Shared by the single-device jit path (``axis_name=None``) and the
+    shard_map data-parallel path (``axis_name='dp'`` — source/weight are
+    per-device shards; every statistic is psum-reduced so all devices step
+    through identical convergence decisions and history records).
+    """
     f = source.dtype
-    n = source.shape[0]
     H = max_iterations
+
+    if axis_name is None:
+        ps = lambda x: x
+    else:
+        ps = lambda x: jax.lax.psum(x, axis_name)
 
     state = {
         "src": source,
@@ -183,8 +213,8 @@ def _icp_core(
         idx, dist = nn_fn(src, target, nn_state)
         dst_matched = target[idx]
 
-        mean, std, threshold, valid, valid_count, rmse = iteration_statistics(
-            dist, sig, widen_first, it == 0
+        mean, std, threshold, valid, valid_count, rmse, n_real = (
+            iteration_statistics(dist, weight, sig, widen_first, it == 0, ps)
         )
 
         # Convergence / divergence / degeneracy — checked before the pose
@@ -200,7 +230,7 @@ def _icp_core(
         will_update = ~(converged | diverged | too_few)
 
         # Masked Kabsch — always evaluated (fixed cost), selected below.
-        T = kabsch_masked(src, dst_matched, valid.astype(f))
+        T = _kabsch_global(src, dst_matched, valid, ps)
         T_cum_new = jnp.where(will_update, T @ s["T_cum"], s["T_cum"])
         src_new = jnp.where(will_update, apply_transform(T, src), src)
 
@@ -228,7 +258,7 @@ def _icp_core(
             "recorded": s["recorded"] + record.astype(jnp.int32),
             "h_rmse": wr(s["h_rmse"], rmse),
             "h_valid": wr(s["h_valid"], valid_count),
-            "h_out": wr(s["h_out"], jnp.asarray(n, jnp.int32) - valid_count),
+            "h_out": wr(s["h_out"], n_real.astype(jnp.int32) - valid_count),
             "h_T": jnp.where(record, s["h_T"].at[it].set(rec_T), s["h_T"]),
             "h_mean": wr(s["h_mean"], mean),
             "h_std": wr(s["h_std"], std),
@@ -238,6 +268,37 @@ def _icp_core(
     s = jax.lax.while_loop(cond, body, state)
     stop = jnp.where(s["stop"] == RUNNING, MAX_ITERATIONS, s["stop"])
     return {**s, "stop": stop}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nn_fn", "max_iterations", "widen_first"),
+)
+def _icp_core(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    nn_state,
+    *,
+    nn_fn: Callable,
+    max_iterations: int,
+    tolerance,
+    sigma_multiplier,
+    widen_first: bool,
+):
+    """Single-device compiled entry for icp_core_impl."""
+    weight = jnp.ones(source.shape[:1], source.dtype)
+    return icp_core_impl(
+        source,
+        weight,
+        target,
+        nn_state,
+        nn_fn=nn_fn,
+        max_iterations=max_iterations,
+        tolerance=tolerance,
+        sigma_multiplier=sigma_multiplier,
+        widen_first=widen_first,
+        axis_name=None,
+    )
 
 
 def _brute_adapter(query, target, nn_state):
@@ -327,6 +388,12 @@ def icp_register(
         sigma_multiplier=sigma_multiplier,
         widen_first=(mode == "gui"),
     )
+    return package_result(out, offset, return_registered)
+
+
+def package_result(out, offset, return_registered: bool = True) -> ICPResult:
+    """Convert the device-side output dict of an ICP core into a
+    world-frame ICPResult (shared by the single-device and sharded paths)."""
     out = jax.tree.map(np.asarray, out)
 
     k = int(out["recorded"])
