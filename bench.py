@@ -1,0 +1,100 @@
+"""Headline benchmark: ICP points/s/chip vs the faithful C++ octree baseline.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The workload is the reference's own scenario (SURVEY/BASELINE): register a
+LiDAR-scale synthetic pair perturbed by a known SE(3) inside the reference
+test envelope (test_icp.cpp:211-215), fixed 20 iterations (the CLI's
+configuration, icp_registration.cpp:901). Throughput = source points
+processed per second of ICP iteration = N_src * iters / wall-clock.
+The baseline is the -O3 native octree ICP (native/icp_native.cpp), the
+honest equivalent of the reference C++ pipeline, timed on this host.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+N_POINTS = int(os.environ.get("BENCH_N", 1_000_000))
+ITERS = int(os.environ.get("BENCH_ITERS", 20))
+BASELINE_N = int(os.environ.get("BENCH_BASELINE_N", min(N_POINTS, 500_000)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from iterativeclosestpoint_tpu.models.icp import icp_register
+    from iterativeclosestpoint_tpu.utils.synth import make_registration_pair
+
+    log(f"devices: {jax.devices()}")
+    src, tgt, _ = make_registration_pair(
+        n=N_POINTS, seed=7, noise_sigma=0.02, kind="terrain", extent=100.0
+    )
+
+    kwargs = dict(
+        max_iterations=ITERS,
+        tolerance=0.0,  # fixed iteration count for stable timing
+        dtype=jnp.float32,
+        nn_backend="hashgrid",
+        grid_resolution=128,
+        return_registered=False,
+    )
+
+    # Warmup (compile) + timed runs.
+    log("warmup/compile...")
+    res = icp_register(src, tgt, **kwargs)
+    assert res.iterations == ITERS, f"expected {ITERS} iters, got {res.iterations}"
+    log(f"warmup done: rmse={res.rmse:.6f} iters={res.iterations}")
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = icp_register(src, tgt, **kwargs)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    tpu_pps = N_POINTS * ITERS / elapsed
+    log(f"tpu: {elapsed:.3f}s for {ITERS} iters of {N_POINTS} pts "
+        f"-> {tpu_pps:,.0f} points/s/chip")
+
+    # CPU octree baseline (faithful reference pipeline, -O3 native).
+    vs_baseline = None
+    try:
+        from iterativeclosestpoint_tpu.runtime.native import (
+            native_available,
+            octree_icp_baseline,
+        )
+
+        if native_available():
+            bsrc, btgt = src[:BASELINE_N], tgt[:BASELINE_N]
+            t0 = time.perf_counter()
+            _, hist, iters, _, _ = octree_icp_baseline(
+                bsrc, btgt, max_iterations=ITERS, tolerance=0.0
+            )
+            belapsed = time.perf_counter() - t0
+            cpu_pps = BASELINE_N * iters / belapsed
+            vs_baseline = tpu_pps / cpu_pps
+            log(f"baseline: {belapsed:.3f}s for {iters} iters of {BASELINE_N} pts "
+                f"-> {cpu_pps:,.0f} points/s -> speedup {vs_baseline:.1f}x")
+    except Exception as e:  # baseline is optional; the metric is not
+        log(f"baseline unavailable: {e}")
+
+    print(json.dumps({
+        "metric": "icp_points_per_sec_per_chip",
+        "value": round(tpu_pps),
+        "unit": "points/s/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

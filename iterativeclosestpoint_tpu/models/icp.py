@@ -308,34 +308,62 @@ def _brute_adapter(query, target, nn_state):
 
 def _default_nn(
     nn_backend: str,
+    source_local: np.ndarray,
     target_local: np.ndarray,
-    n: int,
     dtype,
-    grid_resolution: int,
+    grid_resolution,
     cell_capacity,
 ):
-    """Pick the NN kernel; returns (nn_fn, nn_state).
+    """Pick the NN kernel; returns (nn_fn, nn_state, query_perm | None).
 
     'auto': brute force while the all-pairs work is small (it is exact and
-    rides the MXU); voxel-hash grid beyond — O(N) per iteration vs O(N·M).
+    rides the MXU); cell-blocked grid beyond — O(N) per iteration vs
+    O(N·M). ``query_perm`` is a host-side permutation the caller must
+    apply to the source (Morton order for tile coherence) — statistics are
+    permutation-invariant, so only the final cloud needs un-permuting.
     """
     m = len(target_local)
+    n = len(source_local)
     if nn_backend == "auto":
-        nn_backend = "bruteforce" if n * m <= 2 ** 31 else "hashgrid"
+        nn_backend = "bruteforce" if n * m <= 2 ** 31 else "cellblock"
     if nn_backend == "bruteforce":
-        return _brute_adapter, ()
+        return _brute_adapter, (), None
+    if nn_backend == "cellblock":
+        from iterativeclosestpoint_tpu.ops.cellblock import (
+            make_cellblock_nn,
+            morton_order,
+        )
+
+        nn_fn, grid, resolution = make_cellblock_nn(
+            target_local,
+            resolution=(grid_resolution if grid_resolution else None),
+            dtype=dtype,
+        )
+        perm = morton_order(source_local, resolution)
+        return nn_fn, grid, perm
     if nn_backend == "hashgrid":
         from iterativeclosestpoint_tpu.ops.hashgrid import make_hashgrid_nn
 
-        return make_hashgrid_nn(
-            target_local, resolution=grid_resolution, capacity=cell_capacity,
-            dtype=dtype,
+        fn, grid = make_hashgrid_nn(
+            target_local, resolution=grid_resolution or 64,
+            capacity=cell_capacity, dtype=dtype,
         )
+        return fn, grid, None
     if nn_backend == "pallas":
         from iterativeclosestpoint_tpu.ops.pallas_nn import pallas_nn_adapter
 
-        return pallas_nn_adapter, ()
+        return pallas_nn_adapter, (), None
     raise ValueError(f"unknown nn_backend {nn_backend!r}")
+
+
+def apply_permutation(res: ICPResult, perm: np.ndarray) -> ICPResult:
+    """Undo a query permutation on the per-point output (the registered
+    cloud); all other fields are permutation-invariant."""
+    if res.source_registered is not None:
+        unperm = np.empty_like(res.source_registered)
+        unperm[perm] = res.source_registered
+        res.source_registered = unperm
+    return res
 
 
 def icp_register(
@@ -349,7 +377,7 @@ def icp_register(
     nn_backend: str = "auto",
     nn_fn: Optional[Callable] = None,
     nn_state=(),
-    grid_resolution: int = 64,
+    grid_resolution: Optional[int] = None,
     cell_capacity: Optional[int] = None,
     dtype=jnp.float32,
     center: bool = True,
@@ -369,14 +397,17 @@ def icp_register(
         if center
         else np.zeros(3)
     )
-    src_local = jnp.asarray(source - offset, dtype)
-    tgt_local = jnp.asarray(target - offset, dtype)
-
+    src_np = source - offset
+    perm = None
     if nn_fn is None:
-        nn_fn, nn_state = _default_nn(
-            nn_backend, target - offset, len(source), dtype,
+        nn_fn, nn_state, perm = _default_nn(
+            nn_backend, src_np, target - offset, dtype,
             grid_resolution, cell_capacity,
         )
+    if perm is not None:
+        src_np = src_np[perm]
+    src_local = jnp.asarray(src_np, dtype)
+    tgt_local = jnp.asarray(target - offset, dtype)
 
     out = _icp_core(
         src_local,
@@ -388,7 +419,10 @@ def icp_register(
         sigma_multiplier=sigma_multiplier,
         widen_first=(mode == "gui"),
     )
-    return package_result(out, offset, return_registered)
+    res = package_result(out, offset, return_registered)
+    if perm is not None:
+        res = apply_permutation(res, perm)
+    return res
 
 
 def package_result(out, offset, return_registered: bool = True) -> ICPResult:

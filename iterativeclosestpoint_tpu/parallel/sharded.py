@@ -30,6 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from iterativeclosestpoint_tpu.models.icp import (
     ICPResult,
     _default_nn,
+    apply_permutation,
     icp_core_impl,
     package_result,
 )
@@ -101,7 +102,7 @@ def icp_register_sharded(
     sigma_multiplier: float = 3.0,
     mode: str = "gui",
     nn_backend: str = "auto",
-    grid_resolution: int = 64,
+    grid_resolution: Optional[int] = None,
     cell_capacity: Optional[int] = None,
     dtype=jnp.float32,
     center: bool = True,
@@ -124,11 +125,15 @@ def icp_register_sharded(
         else np.zeros(3)
     )
 
-    src_pad, w = pad_to_multiple((source - offset).astype(dtype), n_dev)
-    nn_fn, nn_state = _default_nn(
-        nn_backend, target - offset, len(source), dtype,
+    src_np = source - offset
+    nn_fn, nn_state, perm = _default_nn(
+        nn_backend, src_np, target - offset, dtype,
         grid_resolution, cell_capacity,
     )
+    if perm is not None:
+        # Morton order also makes each device's shard spatially compact.
+        src_np = src_np[perm]
+    src_pad, w = pad_to_multiple(src_np.astype(dtype), n_dev)
 
     out = _icp_core_sharded(
         jnp.asarray(src_pad),
@@ -145,4 +150,7 @@ def icp_register_sharded(
     # Trim padding rows before packaging.
     out = dict(out)
     out["src"] = out["src"][: len(source)]
-    return package_result(out, offset, return_registered)
+    res = package_result(out, offset, return_registered)
+    if perm is not None:
+        res = apply_permutation(res, perm)
+    return res
