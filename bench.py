@@ -33,7 +33,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from iterativeclosestpoint_tpu.models.icp import icp_register
+    from iterativeclosestpoint_tpu.models.multiscale import icp_register_multiscale
     from iterativeclosestpoint_tpu.utils.synth import make_registration_pair
 
     log(f"devices: {jax.devices()}")
@@ -41,27 +41,32 @@ def main():
         n=N_POINTS, seed=7, noise_sigma=0.02, kind="terrain", extent=100.0
     )
 
+    # Coarse-to-fine: a stride-subsampled coarse pass absorbs the bulk
+    # misalignment (so every fine iteration stays on the certified Pallas
+    # slab-sweep path), then ITERS full-resolution iterations.
     kwargs = dict(
+        coarse_max_points=50_000,
+        coarse_iterations=15,
         max_iterations=ITERS,
-        tolerance=0.0,  # fixed iteration count for stable timing
+        tolerance=0.0,  # fixed fine iteration count for stable timing
         dtype=jnp.float32,
-        nn_backend="hashgrid",
-        grid_resolution=128,
+        nn_backend="pallas",
         return_registered=False,
     )
 
     # Warmup (compile) + timed runs.
     log("warmup/compile...")
-    res = icp_register(src, tgt, **kwargs)
-    assert res.iterations == ITERS, f"expected {ITERS} iters, got {res.iterations}"
-    log(f"warmup done: rmse={res.rmse:.6f} iters={res.iterations}")
+    res = icp_register_multiscale(src, tgt, **kwargs)
+    fine = res.final
+    assert fine.iterations == ITERS, f"expected {ITERS} iters, got {fine.iterations}"
+    log(f"warmup done: rmse={fine.rmse:.6f} fine iters={fine.iterations}")
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        res = icp_register(src, tgt, **kwargs)
+        res = icp_register_multiscale(src, tgt, **kwargs)
         times.append(time.perf_counter() - t0)
-    elapsed = min(times)
+    elapsed = min(times)  # full pipeline: coarse + fine + host prep
     tpu_pps = N_POINTS * ITERS / elapsed
     log(f"tpu: {elapsed:.3f}s for {ITERS} iters of {N_POINTS} pts "
         f"-> {tpu_pps:,.0f} points/s/chip")

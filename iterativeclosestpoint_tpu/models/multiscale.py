@@ -1,0 +1,104 @@
+"""Coarse-to-fine multiscale ICP.
+
+The reference copes with large clouds by *destructively* downsampling
+(CLI stride-50, icp_registration.cpp:857; ``PointCloud::downsample``,
+core/pointcloud.cpp:107-128) — it registers 2% of the data and discards
+the rest. The principled TPU replacement (SURVEY.md §5 "long-context"
+axis; BASELINE.json config 4): a coarse pass on a stride subsample
+estimates the bulk of the SE(3), then full-resolution passes refine it.
+
+This composition is also what makes the grid NN backends fast at scale:
+after the coarse pass the residual misalignment is far below the fine
+grid's cell size, so every fine iteration stays on the certified
+slab-sweep path (ops/pallas_nn.py) and never pays the brute-force
+fallback that a cold 2.5 m misalignment would force.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from iterativeclosestpoint_tpu.models.icp import ICPResult, icp_register
+
+
+@dataclasses.dataclass
+class MultiscaleResult:
+    """Fine-level result plus the per-level trail."""
+
+    final: ICPResult
+    levels: list  # [(stride, ICPResult), ...] coarse → fine
+
+    @property
+    def transform(self) -> np.ndarray:
+        return self.final.transform
+
+    @property
+    def rmse(self) -> float:
+        return self.final.rmse
+
+    @property
+    def success(self) -> bool:
+        return self.final.success
+
+
+def icp_register_multiscale(
+    source,
+    target,
+    *,
+    strides: Optional[Sequence[int]] = None,
+    coarse_max_points: int = 100_000,
+    coarse_iterations: int = 20,
+    coarse_tolerance: float = 1e-4,
+    dtype=jnp.float32,
+    **fine_kwargs,
+) -> MultiscaleResult:
+    """Register via a stride pyramid; the fine level gets every point.
+
+    Args:
+      strides: explicit pyramid, e.g. (16, 4, 1); default = one coarse
+        level with stride ceil(N / coarse_max_points) then full res.
+      coarse_*: iteration budget/tolerance for the non-final levels.
+      fine_kwargs: forwarded to the final full-resolution icp_register
+        (nn_backend, max_iterations, tolerance, mode, ...).
+    """
+    source = np.asarray(source, np.float64)
+    target = np.asarray(target, np.float64)
+    n = len(source)
+    coarse_nn_backend = fine_kwargs.pop("coarse_nn_backend", "auto")
+
+    if strides is None:
+        s = max(1, -(-n // coarse_max_points))
+        strides = (s, 1) if s > 1 else (1,)
+    if strides[-1] != 1:
+        strides = tuple(strides) + (1,)
+
+    T = None
+    levels = []
+    for li, stride in enumerate(strides):
+        last = li == len(strides) - 1
+        if last:
+            res = icp_register(
+                source, target, dtype=dtype, initial_transform=T, **fine_kwargs
+            )
+        else:
+            res = icp_register(
+                source[::stride],
+                target[::stride],
+                dtype=dtype,
+                initial_transform=T,
+                max_iterations=coarse_iterations,
+                tolerance=coarse_tolerance,
+                nn_backend=coarse_nn_backend,
+                mode=fine_kwargs.get("mode", "gui"),
+                return_registered=False,
+            )
+        levels.append((stride, res))
+        T = res.transform
+        if not res.success:
+            break
+
+    return MultiscaleResult(final=levels[-1][1], levels=levels)

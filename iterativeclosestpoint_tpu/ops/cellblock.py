@@ -387,8 +387,9 @@ def make_cellblock_nn(
 @functools.lru_cache(maxsize=None)
 def _cellblock_fn(resolution: int, run_len: int):
     def fn(query, target, nn_state):
-        return nn_cellblock_exact(
+        idx, dist = nn_cellblock_exact(
             query, target, nn_state, resolution=resolution, run_len=run_len
         )
+        return target[idx], dist
 
     return fn

@@ -269,6 +269,7 @@ def _hybrid_fn(resolution: int, capacity: int):
 
 @functools.partial(jax.jit, static_argnames=("resolution", "capacity"))
 def _hybrid_adapter(query, target, grid, *, resolution, capacity):
-    return nn_hybrid(
+    idx, dist = nn_hybrid(
         query, target, grid, resolution=resolution, capacity=capacity
     )
+    return target[idx], dist

@@ -1,0 +1,216 @@
+"""RegistrationSession: the orchestration layer (C6 RegistrationService).
+
+Mirrors the reference service's responsibilities
+(``services/registrationservice.h:30-106``): owns source/target clouds,
+keeps a pristine copy of the source for iteration replay
+(registrationservice.cpp:92-99), runs registration, accumulates a history
+of runs (registrationservice.cpp:243-254) and saves artifacts. Where the
+reference offloads to Qt worker threads, JAX's async dispatch plays that
+role: ``run_async`` launches the compiled computation and returns a
+future-like handle without blocking the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from iterativeclosestpoint_tpu.io.las import read_las, write_las
+from iterativeclosestpoint_tpu.models.icp import ICPResult, icp_register
+from iterativeclosestpoint_tpu.models.multiscale import icp_register_multiscale
+from iterativeclosestpoint_tpu.runtime.checkpoint import save_checkpoint
+from iterativeclosestpoint_tpu.runtime.metrics import (
+    MetricsWriter,
+    write_history_json,
+    write_transform_report,
+)
+from iterativeclosestpoint_tpu.utils.config import AppSettings, ICPConfig
+
+
+@dataclasses.dataclass
+class RunRecord:
+    """One row of the run-history table (dashboardpage.cpp:150-173)."""
+
+    timestamp: float
+    source_points: int
+    target_points: int
+    iterations: int
+    rmse: float
+    success: bool
+    message: str
+    duration_s: float
+
+
+class RegistrationSession:
+    """Owns clouds + config, runs registrations, keeps history and replay
+    state."""
+
+    def __init__(self, settings: Optional[AppSettings] = None,
+                 metrics: Optional[MetricsWriter] = None):
+        self.settings = settings or AppSettings()
+        self.metrics = metrics or MetricsWriter(console=False)
+        self.source: Optional[np.ndarray] = None
+        self.target: Optional[np.ndarray] = None
+        self.source_header = None
+        self.target_header = None
+        # Pristine copy for replay (registrationservice.cpp:92-99).
+        self.original_source: Optional[np.ndarray] = None
+        self.result: Optional[ICPResult] = None
+        self.history: List[RunRecord] = []
+        self._running = False
+
+    # -- loading (C11 DataManager verbs) ---------------------------------
+
+    def load_source(self, path: str | Path, max_points: int = 0,
+                    stride: int = 1) -> int:
+        self.source, self.source_header = read_las(
+            path, max_points=max_points, stride=stride
+        )
+        self.original_source = self.source.copy()
+        self.metrics.log(f"source cloud: {len(self.source)} points from {path}")
+        return len(self.source)
+
+    def load_target(self, path: str | Path, max_points: int = 0,
+                    stride: int = 1) -> int:
+        self.target, self.target_header = read_las(
+            path, max_points=max_points, stride=stride
+        )
+        self.metrics.log(f"target cloud: {len(self.target)} points from {path}")
+        return len(self.target)
+
+    def set_clouds(self, source: np.ndarray, target: np.ndarray) -> None:
+        self.source = np.asarray(source, np.float64)
+        self.target = np.asarray(target, np.float64)
+        self.original_source = self.source.copy()
+
+    # -- registration ----------------------------------------------------
+
+    def run(
+        self,
+        config: Optional[ICPConfig] = None,
+        multiscale: bool = False,
+        checkpoint_path: Optional[str | Path] = None,
+        initial_transform=None,
+        **overrides,
+    ) -> ICPResult:
+        """Run registration (blocking). Mirrors startRegistration →
+        ICPEngine::runICP (registrationservice.cpp:186-213)."""
+        if self.source is None or self.target is None:
+            raise RuntimeError("load source and target clouds first")
+        if self._running:
+            raise RuntimeError("a registration is already running")
+        self._running = True
+        cfg = (config or self.settings.icp).validate()
+        try:
+            kwargs = dict(
+                max_iterations=cfg.max_iterations,
+                tolerance=cfg.tolerance,
+                sigma_multiplier=cfg.sigma_multiplier,
+                mode=cfg.mode,
+                nn_backend=cfg.nn_backend,
+                initial_transform=initial_transform,
+                **overrides,
+            )
+            self.metrics.log("========== starting ICP registration ==========")
+            self.metrics.log(f"source: {len(self.source)} points")
+            self.metrics.log(f"target: {len(self.target)} points")
+            t0 = time.perf_counter()
+            if multiscale:
+                ms = icp_register_multiscale(self.source, self.target, **kwargs)
+                result = ms.final
+            else:
+                result = icp_register(self.source, self.target, **kwargs)
+            dt = time.perf_counter() - t0
+
+            for rec in result.iteration_records():
+                self.metrics.iteration(rec, cfg.max_iterations)
+            self.metrics.log("========== registration finished ==========")
+            self.metrics.log(
+                f"iterations: {result.iterations}  final RMSE: {result.rmse:.6f}"
+                f"  ({result.message}, {dt:.2f}s)"
+            )
+            self.metrics.event(
+                "run", success=result.success, message=result.message,
+                iterations=result.iterations, rmse=result.rmse, duration_s=dt,
+            )
+
+            self.result = result
+            if result.source_registered is not None:
+                self.source = result.source_registered
+            self.history.append(
+                RunRecord(
+                    timestamp=time.time(),
+                    source_points=len(self.source),
+                    target_points=len(self.target),
+                    iterations=result.iterations,
+                    rmse=result.rmse,
+                    success=result.success,
+                    message=result.message,
+                    duration_s=dt,
+                )
+            )
+            if checkpoint_path:
+                save_checkpoint(
+                    checkpoint_path,
+                    iteration=result.iterations,
+                    transform=result.transform,
+                    rmse_history=result.history_rmse,
+                    config=dataclasses.asdict(cfg),
+                )
+            return result
+        finally:
+            self._running = False
+
+    def run_async(self, **kwargs) -> threading.Thread:
+        """Worker-thread launch (QtConcurrent::run analog,
+        registrationservice.cpp:211). The compiled computation releases the
+        GIL on device; join() the returned thread or poll is_running()."""
+        th = threading.Thread(target=self.run, kwargs=kwargs, daemon=True)
+        th.start()
+        return th
+
+    def is_running(self) -> bool:
+        return self._running
+
+    # -- replay (C8/C13) -------------------------------------------------
+
+    def replay(self, k: int) -> np.ndarray:
+        """Source cloud as of iteration k (1-based; 0 = original) — the
+        viewer's setCurrentIteration (pointcloudviewer.cpp:86-116): apply
+        the recorded cumulative transform of iteration k to the pristine
+        source."""
+        if self.original_source is None:
+            raise RuntimeError("no source loaded")
+        if k == 0 or self.result is None or self.result.iterations == 0:
+            return self.original_source.copy()
+        k = min(k, self.result.iterations)
+        T = self.result.history_transform[k - 1]
+        return self.original_source @ T[:3, :3].T + T[:3, 3]
+
+    # -- artifacts (C11 save / C15 report) -------------------------------
+
+    def save_result(self, path: str | Path, rebase: bool = False):
+        """Write the registered source as LAS. Default preserves the
+        source file's scale/offset (the CLI policy the reference author
+        marks as the fix, icp_registration.cpp:766-773)."""
+        if self.source is None:
+            raise RuntimeError("nothing to save")
+        scale = offset = None
+        if self.source_header is not None and not rebase:
+            scale = self.source_header.scale
+            offset = self.source_header.offset
+        return write_las(path, self.source, scale=scale, offset=offset,
+                         rebase=rebase)
+
+    def save_report(self, txt_path=None, json_path=None) -> None:
+        if self.result is None:
+            raise RuntimeError("no registration result yet")
+        if txt_path:
+            write_transform_report(txt_path, self.result)
+        if json_path:
+            write_history_json(json_path, self.result)

@@ -1,0 +1,155 @@
+"""Session / metrics / checkpoint / CLI end-to-end tests (product surface
+C6-C16)."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from iterativeclosestpoint_tpu.cli import main as cli_main
+from iterativeclosestpoint_tpu.io.las import read_las, write_las
+from iterativeclosestpoint_tpu.runtime.checkpoint import (
+    load_checkpoint,
+    resume_arguments,
+    save_checkpoint,
+)
+from iterativeclosestpoint_tpu.runtime.metrics import (
+    MetricsWriter,
+    read_history_json,
+    write_history_json,
+)
+from iterativeclosestpoint_tpu.runtime.session import RegistrationSession
+from iterativeclosestpoint_tpu.utils.config import AppSettings, ICPConfig
+from iterativeclosestpoint_tpu.utils.synth import make_registration_pair
+
+
+def _session_with_pair(tmp_path, n=1500, seed=100):
+    src, tgt, T = make_registration_pair(n=n, seed=seed, noise_sigma=0.01)
+    sp = tmp_path / "src.las"
+    tp = tmp_path / "tgt.las"
+    write_las(sp, src)
+    write_las(tp, tgt)
+    sess = RegistrationSession()
+    sess.load_source(sp)
+    sess.load_target(tp)
+    return sess, sp, tp, T
+
+
+def test_session_run_and_artifacts(tmp_path):
+    sess, sp, tp, _ = _session_with_pair(tmp_path)
+    cfg = ICPConfig(max_iterations=15, nn_backend="bruteforce")
+    res = sess.run(config=cfg, checkpoint_path=tmp_path / "ckpt.json")
+    assert res.success and res.iterations >= 1
+    assert len(sess.history) == 1
+
+    out = tmp_path / "registered.las"
+    sess.save_result(out)
+    back, hdr = read_las(out)
+    # Georeference preserved: same scale/offset as the source file.
+    assert hdr.scale == sess.source_header.scale
+    np.testing.assert_allclose(back, sess.source, atol=0.001)
+
+    sess.save_report(txt_path=tmp_path / "t.txt", json_path=tmp_path / "t.json")
+    txt = (tmp_path / "t.txt").read_text()
+    assert "P_target = R * P_source + t" in txt
+    assert "iteration 1" in txt
+    hist = read_history_json(tmp_path / "t.json")
+    assert hist["iterations"] == res.iterations
+    np.testing.assert_allclose(hist["transform"], res.transform)
+
+    ckpt = load_checkpoint(tmp_path / "ckpt.json")
+    np.testing.assert_allclose(ckpt["transform"], res.transform)
+
+
+def test_session_replay_trajectory(tmp_path):
+    sess, *_ = _session_with_pair(tmp_path)
+    res = sess.run(config=ICPConfig(max_iterations=8, nn_backend="bruteforce"))
+    assert res.iterations >= 2
+    r0 = sess.replay(0)
+    np.testing.assert_array_equal(r0, sess.original_source)
+    rk = sess.replay(res.iterations)
+    T = res.history_transform[-1]
+    np.testing.assert_allclose(
+        rk, sess.original_source @ T[:3, :3].T + T[:3, 3], atol=1e-9
+    )
+
+
+def test_checkpoint_resume_continues(tmp_path):
+    src, tgt, T_true = make_registration_pair(n=1200, seed=101)
+    sess = RegistrationSession()
+    sess.set_clouds(src, tgt)
+    res1 = sess.run(
+        config=ICPConfig(max_iterations=3, nn_backend="bruteforce"),
+        checkpoint_path=tmp_path / "c.json",
+    )
+    ckpt = load_checkpoint(tmp_path / "c.json")
+    patch = resume_arguments(ckpt, max_iterations=40)
+    sess2 = RegistrationSession()
+    sess2.set_clouds(src, tgt)  # pristine source + saved transform
+    res2 = sess2.run(
+        config=ICPConfig(max_iterations=patch["max_iterations"],
+                         nn_backend="bruteforce"),
+        initial_transform=patch["initial_transform"],
+    )
+    assert res2.success
+    # Combined run converges at least as well as the prefix alone.
+    assert res2.rmse <= res1.rmse + 1e-9
+
+
+def test_metrics_jsonl(tmp_path):
+    mpath = tmp_path / "m.jsonl"
+    m = MetricsWriter(jsonl_path=mpath, console=False)
+    m.event("run", success=True, rmse=0.5)
+    m.iteration(
+        {"iteration": 1, "rmse": 0.5, "valid_points": 10, "outlier_points": 2,
+         "rotation_angle_deg": 1.0, "translation_norm": 0.1,
+         "mean_dist": 0.4, "std_dist": 0.1, "threshold": 0.7}, 10,
+    )
+    m.close()
+    rows = [json.loads(x) for x in mpath.read_text().splitlines()]
+    assert rows[0]["kind"] == "run"
+    assert rows[1]["kind"] == "iteration" and rows[1]["rmse"] == 0.5
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    sp = tmp_path / "s.las"
+    tp = tmp_path / "t.las"
+    # synth
+    assert cli_main(["synth", str(sp), str(tp), "--n", "1500", "--seed", "3",
+                     "--noise", "0.01"]) == 0
+    # info
+    assert cli_main(["info", str(sp)]) == 0
+    out = capsys.readouterr().out
+    assert "points:         1500" in out
+    # run
+    reg = tmp_path / "reg.las"
+    hist = tmp_path / "hist.jsonl"
+    rc = cli_main([
+        "run", str(sp), str(tp), "-o", str(reg),
+        "--max-iterations", "10", "--nn-backend", "bruteforce",
+        "--history", str(hist), "--checkpoint", str(tmp_path / "ck.json"),
+    ])
+    assert rc == 0
+    assert reg.exists()
+    report_json = tmp_path / "reg_transform.json"
+    assert report_json.exists()
+    # replay
+    rp = tmp_path / "replay.las"
+    assert cli_main(["replay", str(sp), str(report_json), "-k", "1",
+                     "-o", str(rp)]) == 0
+    assert rp.exists()
+    # status
+    assert cli_main(["status", "--history", str(hist)]) == 0
+    out = capsys.readouterr().out
+    assert "runs: 1" in out
+    # settings roundtrip
+    spath = tmp_path / "settings.json"
+    assert cli_main(["settings", "--settings", str(spath),
+                     "--set", "icp.max_iterations=77"]) == 0
+    assert AppSettings.load(spath).icp.max_iterations == 77
+    # resume path exercises checkpoint loading
+    rc = cli_main([
+        "run", str(sp), str(tp), "--max-iterations", "5",
+        "--nn-backend", "bruteforce", "--resume", str(tmp_path / "ck.json"),
+    ])
+    assert rc == 0
