@@ -45,7 +45,7 @@ def main():
     # misalignment (so every fine iteration stays on the certified Pallas
     # slab-sweep path), then ITERS full-resolution iterations.
     kwargs = dict(
-        coarse_max_points=50_000,
+        coarse_max_points=30_000,
         coarse_iterations=15,
         max_iterations=ITERS,
         tolerance=0.0,  # fixed fine iteration count for stable timing

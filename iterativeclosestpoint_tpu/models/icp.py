@@ -329,7 +329,10 @@ def _default_nn(
     m = len(target_local)
     n = len(source_local)
     if nn_backend == "auto":
-        nn_backend = "bruteforce" if n * m <= 2 ** 31 else "cellblock"
+        # Brute force while the all-pairs matmul is cheap; the Pallas
+        # slab-sweep kernel beyond (the XLA cellblock formulation is kept
+        # as an explicit backend for CPU-testable reference behavior).
+        nn_backend = "bruteforce" if n * m <= 2 ** 31 else "pallas"
     if nn_backend == "bruteforce":
         return _brute_adapter, (), None
     if nn_backend == "cellblock":

@@ -50,7 +50,7 @@ def icp_register_multiscale(
     target,
     *,
     strides: Optional[Sequence[int]] = None,
-    coarse_max_points: int = 100_000,
+    coarse_max_points: int = 30_000,
     coarse_iterations: int = 20,
     coarse_tolerance: float = 1e-4,
     dtype=jnp.float32,

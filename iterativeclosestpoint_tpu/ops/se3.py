@@ -115,6 +115,85 @@ def transform_error(T_a: jnp.ndarray, T_b: jnp.ndarray) -> jnp.ndarray:
     return dR + dt
 
 
+def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: (3,) axis-angle → (3,3) rotation.
+
+    Every branch is evaluated on *safe* inputs (double-where pattern) so
+    forward/reverse autodiff through θ = 0 stays finite — the pose-graph
+    Gauss-Newton differentiates through these maps at the identity.
+    """
+    t2 = jnp.sum(w * w)
+    small = t2 < 1e-14
+    t2s = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(t2s)
+    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
+    W = _skew(w)
+    return jnp.eye(3, dtype=w.dtype) + A * W + B * (W @ W)
+
+
+def so3_log(R: jnp.ndarray) -> jnp.ndarray:
+    """(3,3) rotation → (3,) axis-angle via atan2 (smooth at identity).
+
+    Valid for θ well below π (pose-graph edges are small relative motions);
+    the θ ≈ π antipode is outside this parameterization's support.
+    """
+    s_vec = 0.5 * jnp.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]], R.dtype
+    )  # sinθ · axis
+    s2 = jnp.sum(s_vec * s_vec)  # sin²θ
+    c = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    small = s2 < 1e-14
+    sin_safe = jnp.sqrt(jnp.where(small, 1.0, s2))
+    theta = jnp.arctan2(sin_safe, c)
+    # θ/sinθ: smooth series in sin²θ near 0.
+    factor = jnp.where(small, 1.0 + s2 / 6.0, theta / sin_safe)
+    return factor * s_vec
+
+
+def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """(6,) twist [v, w] → (4,4) transform (V-matrix form, autodiff-safe)."""
+    v = xi[:3]
+    w = xi[3:]
+    t2 = jnp.sum(w * w)
+    small = t2 < 1e-14
+    t2s = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(t2s)
+    W = _skew(w)
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
+    C = jnp.where(
+        small, 1.0 / 6.0 - t2 / 120.0, (theta - jnp.sin(theta)) / (t2s * theta)
+    )
+    V = jnp.eye(3, dtype=xi.dtype) + B * W + C * (W @ W)
+    return make_transform(so3_exp(w), V @ v)
+
+
+def se3_log(T: jnp.ndarray) -> jnp.ndarray:
+    """(4,4) transform → (6,) twist [v, w] (autodiff-safe near identity)."""
+    w = so3_log(T[:3, :3])
+    t2 = jnp.sum(w * w)
+    small = t2 < 1e-14
+    t2s = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(t2s)
+    W = _skew(w)
+    # V⁻¹ = I - W/2 + coef·W², coef = 1/θ² − (1+cosθ)/(2θ sinθ).
+    sin_safe = jnp.where(small, 1.0, jnp.sin(theta))
+    coef = jnp.where(
+        small,
+        1.0 / 12.0 + t2 / 720.0,
+        1.0 / t2s - (1.0 + jnp.cos(theta)) / (2.0 * theta * sin_safe),
+    )
+    Vinv = jnp.eye(3, dtype=T.dtype) - 0.5 * W + coef * (W @ W)
+    return jnp.concatenate([Vinv @ T[:3, 3], w])
+
+
+def _skew(w: jnp.ndarray) -> jnp.ndarray:
+    z = jnp.zeros((), w.dtype)
+    return jnp.array(
+        [[z, -w[2], w[1]], [w[2], z, -w[0]], [-w[1], w[0], z]]
+    )
+
+
 def registration_error(T_a, T_b, points) -> jnp.ndarray:
     """Max displacement (metres) between the two maps evaluated at the cloud.
 

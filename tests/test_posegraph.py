@@ -1,0 +1,100 @@
+"""Multi-scan pose graph: SE(3) maps, Gauss-Newton, joint registration."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iterativeclosestpoint_tpu.models.posegraph import (
+    optimize_pose_graph,
+    register_scans,
+)
+from iterativeclosestpoint_tpu.ops.se3 import se3_exp, se3_log
+from iterativeclosestpoint_tpu.utils.synth import (
+    apply_transform_np,
+    make_cloud,
+    random_rigid_transform,
+)
+
+
+def test_se3_exp_log_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        xi = rng.normal(0, 0.5, 6)
+        T = np.asarray(se3_exp(jnp.asarray(xi)))
+        xi_back = np.asarray(se3_log(jnp.asarray(T)))
+        np.testing.assert_allclose(xi_back, xi, atol=1e-9)
+    # small-angle branch
+    xi = np.array([1e-12, 2e-12, -1e-12, 1e-13, 0.0, -1e-13])
+    T = np.asarray(se3_exp(jnp.asarray(xi)))
+    np.testing.assert_allclose(np.asarray(se3_log(jnp.asarray(T))), xi, atol=1e-15)
+
+
+def _random_poses(k, seed):
+    rng = np.random.default_rng(seed)
+    poses = [np.eye(4)]
+    for s in range(1, k):
+        poses.append(random_rigid_transform(seed=seed + s))
+    return poses
+
+
+def test_posegraph_exact_measurements():
+    """With exact relative measurements GN recovers the true poses."""
+    k = 5
+    poses = _random_poses(k, 7)
+    edges = []
+    for i in range(k - 1):
+        Z = np.linalg.inv(poses[i]) @ poses[i + 1]
+        edges.append((i, i + 1, Z))
+    edges.append((0, k - 1, np.linalg.inv(poses[0]) @ poses[k - 1]))  # loop
+
+    out = optimize_pose_graph(edges, n_poses=k)
+    assert out.converged
+    for s in range(k):
+        np.testing.assert_allclose(out.poses[s], poses[s], atol=1e-8)
+
+
+def test_posegraph_noisy_loop_closure_improves_consistency():
+    """Loop closure distributes noise: end pose error beats dead-reckoning."""
+    k = 6
+    rng = np.random.default_rng(11)
+    poses = _random_poses(k, 13)
+    noisy_edges = []
+    for i in range(k - 1):
+        Z = np.linalg.inv(poses[i]) @ poses[i + 1]
+        noise = np.asarray(se3_exp(jnp.asarray(rng.normal(0, 0.01, 6))))
+        noisy_edges.append((i, i + 1, Z @ noise))
+    # Exact loop closure 0 → k-1.
+    noisy_edges.append((0, k - 1, np.linalg.inv(poses[0]) @ poses[k - 1]))
+
+    out = optimize_pose_graph(noisy_edges, n_poses=k)
+
+    # Dead-reckoning (chain composition) error at the last pose:
+    T_chain = np.eye(4)
+    for i in range(k - 1):
+        T_chain = T_chain @ noisy_edges[i][2]
+    err_chain = np.abs(T_chain - poses[k - 1]).max()
+    err_opt = np.abs(out.poses[k - 1] - poses[k - 1]).max()
+    assert err_opt < err_chain * 0.5, (err_opt, err_chain)
+
+
+def test_register_scans_end_to_end():
+    """3 synthetic scans of one scene; joint registration recovers poses."""
+    base = make_cloud(4000, seed=21)
+    poses = [np.eye(4)]
+    for s in range(1, 3):
+        poses.append(random_rigid_transform(seed=30 + s))
+    # scan s = scene observed in scan-s frame: p_s = T_s⁻¹ · p_world.
+    scans = []
+    for s in range(3):
+        Tinv = np.linalg.inv(poses[s])
+        scans.append(apply_transform_np(Tinv, base))
+
+    out = register_scans(
+        scans, edges=[(0, 1), (1, 2), (0, 2)],
+        dtype=jnp.float64, nn_backend="bruteforce", max_iterations=120,
+        return_registered=False,
+    )
+    for s in range(3):
+        # Recovered pose maps scan s back to world (scan-0) frame.
+        recovered = apply_transform_np(out.poses[s], scans[s])
+        np.testing.assert_allclose(recovered, base, atol=1e-4)
