@@ -19,9 +19,23 @@ LiDAR scans) as an idiomatic JAX/XLA/Pallas framework:
 Reference layer map: SURVEY.md §1; component inventory: SURVEY.md §2.
 """
 
-from iterativeclosestpoint_tpu.utils.config import ICPConfig
+from iterativeclosestpoint_tpu.utils.config import AppSettings, ICPConfig
 from iterativeclosestpoint_tpu.models.icp import ICPResult, icp_register
+from iterativeclosestpoint_tpu.models.multiscale import icp_register_multiscale
+from iterativeclosestpoint_tpu.models.posegraph import (
+    optimize_pose_graph,
+    register_scans,
+)
 
 __version__ = "0.1.0"
 
-__all__ = ["ICPConfig", "ICPResult", "icp_register", "__version__"]
+__all__ = [
+    "AppSettings",
+    "ICPConfig",
+    "ICPResult",
+    "icp_register",
+    "icp_register_multiscale",
+    "optimize_pose_graph",
+    "register_scans",
+    "__version__",
+]
