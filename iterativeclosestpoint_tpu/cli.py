@@ -152,6 +152,30 @@ def cmd_replay(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    from iterativeclosestpoint_tpu.io.las import read_las
+    from iterativeclosestpoint_tpu.runtime.viz import render_registration_png
+
+    src, _ = read_las(args.source)
+    tgt, _ = read_las(args.target)
+    rmse = None
+    title = f"{Path(args.source).name} vs {Path(args.target).name}"
+    if args.history:
+        from iterativeclosestpoint_tpu.runtime.metrics import read_history_json
+
+        hist = read_history_json(args.history)
+        rmse = [h["rmse"] for h in hist["history"]]
+        k = args.iteration if args.iteration >= 0 else hist["iterations"]
+        if k > 0:
+            T = hist["history"][min(k, hist["iterations"]) - 1]["transform"]
+            src = src @ T[:3, :3].T + T[:3, 3]
+            title += f" (iteration {k})"
+    render_registration_png(args.output, src, tgt, rmse_history=rmse,
+                            title=title)
+    _print(f"view written to {args.output}")
+    return 0
+
+
 def cmd_status(args) -> int:
     p = Path(args.history)
     if not p.exists():
@@ -270,6 +294,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="iteration number (default: last)")
     rp.add_argument("-o", "--output", required=True)
     rp.set_defaults(fn=cmd_replay)
+
+    v = sub.add_parser("view", help="render clouds (+ optional replay) to PNG")
+    v.add_argument("source")
+    v.add_argument("target")
+    v.add_argument("-o", "--output", required=True)
+    v.add_argument("--history", help="history JSON (enables replay + RMSE curve)")
+    v.add_argument("-k", "--iteration", type=int, default=-1)
+    v.set_defaults(fn=cmd_view)
 
     st = sub.add_parser("status", help="run-history dashboard")
     st.add_argument("--history", default="icp_history.jsonl")

@@ -79,6 +79,7 @@ def read_las(
     path: str | Path,
     max_points: int = 0,
     stride: int = 1,
+    engine: str = "auto",
 ) -> Tuple[np.ndarray, LASHeader]:
     """Read a LAS 1.2 file into an (N, 3) float64 array.
 
@@ -88,6 +89,9 @@ def read_las(
         ``maxPoints`` (lasio.cpp:60-63).
       stride: keep every stride-th point — the CLI's 1/50 downsample
         (icp_registration.cpp:857) done at decode time, for free.
+      engine: "numpy" (strided structured view), "native" (C++ decoder,
+        runtime/native.py), or "auto" (native for very large full reads
+        when the toolchain built it, numpy otherwise).
 
     Returns:
       (points (N,3) float64 world coordinates, header).
@@ -103,6 +107,27 @@ def read_las(
     start = hdr.offset_to_data
     avail = (len(raw) - start) // L
     n = min(n, avail)
+
+    if engine != "numpy" and stride == 1:
+        use_native = engine == "native" or (engine == "auto" and n > 20_000_000)
+        if use_native:
+            try:
+                from iterativeclosestpoint_tpu.runtime.native import (
+                    las_decode_native,
+                    native_available,
+                )
+
+                if native_available():
+                    pts = las_decode_native(
+                        raw[start : start + n * L], n, L,
+                        np.asarray(hdr.scale), np.asarray(hdr.offset),
+                    )
+                    return pts, hdr
+                if engine == "native":
+                    raise RuntimeError("native decoder unavailable")
+            except ImportError:
+                if engine == "native":
+                    raise
 
     # One strided structured view decodes every record at once.
     rec = np.dtype(

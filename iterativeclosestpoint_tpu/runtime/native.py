@@ -77,6 +77,24 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def las_decode_native(
+    records: np.ndarray, n: int, record_length: int, scale, offset
+) -> np.ndarray:
+    """Decode raw LAS point records (uint8 buffer) → (n,3) float64 via the
+    C++ decoder (io/las.py's optional fast path for very large files)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    records = np.ascontiguousarray(records, np.uint8)
+    out = np.empty((n, 3), np.float64)
+    lib.las_decode(
+        records, n, record_length,
+        np.ascontiguousarray(scale, np.float64),
+        np.ascontiguousarray(offset, np.float64), out,
+    )
+    return out
+
+
 def octree_nn_baseline(
     target: np.ndarray,
     query: np.ndarray,

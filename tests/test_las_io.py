@@ -109,3 +109,20 @@ def test_longer_point_records(tmp_path):
     back, hdr = read_las(p)
     assert hdr.point_record_length == 28
     np.testing.assert_allclose(back, pts, atol=0.005 + 1e-9)
+
+
+def test_native_engine_matches_numpy(tmp_path):
+    import pytest as _pytest
+
+    from iterativeclosestpoint_tpu.runtime.native import native_available
+
+    if not native_available():
+        _pytest.skip("native toolchain unavailable")
+    pts = make_cloud(3000, seed=9) + 1000.0
+    p = tmp_path / "n.las"
+    write_las(p, pts, scale=(0.001, 0.001, 0.001), offset=(999.0, 999.0, 999.0))
+    a, _ = read_las(p, engine="numpy")
+    b, _ = read_las(p, engine="native")
+    # -O3 FMA contraction rounds int·scale+offset differently than numpy's
+    # separate mul+add — equality up to one ulp of the coordinate scale.
+    np.testing.assert_allclose(a, b, atol=1e-9)

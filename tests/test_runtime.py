@@ -153,3 +153,21 @@ def test_cli_end_to_end(tmp_path, capsys):
         "--nn-backend", "bruteforce", "--resume", str(tmp_path / "ck.json"),
     ])
     assert rc == 0
+
+
+def test_view_render(tmp_path):
+    from iterativeclosestpoint_tpu.runtime.viz import render_registration_png
+
+    src, tgt, _ = make_registration_pair(n=500, seed=120)
+    p = tmp_path / "v.png"
+    render_registration_png(p, src, tgt, rmse_history=np.array([1.0, 0.5, 0.2]))
+    assert p.exists() and p.stat().st_size > 10_000
+
+
+def test_cli_view(tmp_path):
+    sp = tmp_path / "s.las"
+    tp = tmp_path / "t.las"
+    assert cli_main(["synth", str(sp), str(tp), "--n", "800"]) == 0
+    png = tmp_path / "out.png"
+    assert cli_main(["view", str(sp), str(tp), "-o", str(png)]) == 0
+    assert png.exists()
