@@ -84,7 +84,12 @@ def build_pallas_grid(
     )
 
 
-def _colsweep_kernel(slabs: int, trange: int, tile_q: int):
+def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
+    """Kernel factory. Each slab is processed in lane-chunks of ``chunk``
+    so the (tile_q × chunk) distance/one-hot working set stays ~2 MB of
+    VMEM even for long coarse-grid ranges."""
+    n_chunks = -(-trange // chunk)
+
     def kernel(base_ref, start_ref, end_ref, q_ref, tgt_ref,
                out_ref, cand, sems):
         i = pl.program_id(0)
@@ -109,7 +114,8 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int):
         best_d2 = jnp.full((tile_q,), big, jnp.float32)
         best_xyz = jnp.zeros((tile_q, 3), jnp.float32)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, trange), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        oh_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_q, chunk), 1)
 
         for s in range(slabs):
             slot = s % 2
@@ -117,32 +123,30 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int):
                 get_dma((s + 1) % 2, s + 1).start()
             get_dma(slot, s).wait()
 
-            c = cand[slot]  # (8, trange); rows 0-2 are x,y,z
-            rows = base_ref[i * slabs + s] + col  # (1, trange)
-            ok = (rows >= start_ref[i * slabs + s]) & (
-                rows < end_ref[i * slabs + s]
-            )
-            d2 = (
-                (qx[:, None] - c[0, :][None, :]) ** 2
-                + (qy[:, None] - c[1, :][None, :]) ** 2
-                + (qz[:, None] - c[2, :][None, :]) ** 2
-            )
-            d2 = jnp.where(ok, d2, big)
-            j = jnp.argmin(d2, axis=1)  # (tile_q,)
-            dmin = jnp.min(d2, axis=1)
-            # Winner coordinates via one-hot MXU contraction (no gather).
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (tile_q, trange), 1)
-                == j[:, None]
-            ).astype(jnp.float32)
-            coords = jax.lax.dot_general(
-                onehot, c[0:3, :],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (tile_q, 3)
-            take = dmin < best_d2
-            best_d2 = jnp.where(take, dmin, best_d2)
-            best_xyz = jnp.where(take[:, None], coords, best_xyz)
+            for k in range(n_chunks):
+                c = cand[slot, :, k * chunk : (k + 1) * chunk]  # (8, chunk)
+                rows = base_ref[i * slabs + s] + k * chunk + col  # (1, chunk)
+                ok = (rows >= start_ref[i * slabs + s]) & (
+                    rows < end_ref[i * slabs + s]
+                )
+                d2 = (
+                    (qx[:, None] - c[0, :][None, :]) ** 2
+                    + (qy[:, None] - c[1, :][None, :]) ** 2
+                    + (qz[:, None] - c[2, :][None, :]) ** 2
+                )
+                d2 = jnp.where(ok, d2, big)
+                j = jnp.argmin(d2, axis=1)  # (tile_q,)
+                dmin = jnp.min(d2, axis=1)
+                # Winner coordinates via one-hot MXU contraction (no gather).
+                onehot = (oh_iota == j[:, None]).astype(jnp.float32)
+                coords = jax.lax.dot_general(
+                    onehot, c[0:3, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (tile_q, 3)
+                take = dmin < best_d2
+                best_d2 = jnp.where(take, dmin, best_d2)
+                best_xyz = jnp.where(take[:, None], coords, best_xyz)
 
         # Single (8, tile_q) output block: rows 0-2 = matched xyz, row 3 = d².
         out_ref[0, 0:3, :] = best_xyz.T
@@ -161,7 +165,7 @@ def nn_colsweep(
     *,
     resolution: int,
     tile_q: int = 128,
-    slabs: int = 4,
+    slabs: int = 6,
     trange: int = 2048,
 ):
     """Slab-sweep grid 1-NN (Pallas).
@@ -275,22 +279,42 @@ def nn_colsweep(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "resolution", "tile_q", "slabs", "trange", "brute_batch", "brute_passes",
+        "resolution", "coarse_resolution", "tile_q", "slabs", "trange",
+        "coarse_trange", "coarse_budget", "brute_batch", "brute_passes",
+        "global_fallback",
     ),
 )
 def nn_colsweep_exact(
     query: jnp.ndarray,
     target: jnp.ndarray,
     grid: PallasGrid,
+    coarse_grid: "PallasGrid | None" = None,
     *,
     resolution: int,
+    coarse_resolution: int = 0,
     tile_q: int = 128,
-    slabs: int = 4,
+    slabs: int = 6,
     trange: int = 2048,
+    coarse_trange: int = 16384,
+    coarse_budget: int = 65536,
     brute_batch: int = 4096,
     brute_passes: int = 16,
+    global_fallback: bool = True,
 ):
-    """Exact NN: kernel + budgeted brute repair + global cond fallback.
+    """Exact NN: fine kernel → coarse-kernel repair → budgeted brute →
+    global cond fallback.
+
+    Uncertified fine-level queries (tile-geometry stragglers, moderate
+    misalignments) are compacted and re-searched with the *same* kernel on
+    a 4×-coarser grid whose certificate radius is 4 cells wide — orders of
+    magnitude cheaper than brute-forcing them. Only queries uncertified at
+    both levels (far outliers) reach the brute passes.
+
+    ``global_fallback=False`` drops the all-pairs escape hatch (an
+    N×M-scale branch that is unaffordable to even *compile* at N ≥ 1M):
+    exactness then holds whenever uncertified queries fit the
+    coarse/brute budgets — which coarse-to-fine alignment
+    (models/multiscale.py) guarantees in practice.
 
     Returns (matched (N,3), dist (N,)).
     """
@@ -299,6 +323,25 @@ def nn_colsweep_exact(
         trange=trange,
     )
     n = query.shape[0]
+
+    if coarse_grid is not None and coarse_resolution:
+        cb = min(coarse_budget, n)  # nn_colsweep pads to tiles internally
+        perm0 = jnp.argsort(certified.astype(jnp.int32), stable=True)
+        n_bad0 = jnp.sum(~certified, dtype=jnp.int32)
+        rows = perm0[:cb]
+        qc = query[rows]
+        m_c, d_c, cert_c = nn_colsweep(
+            qc, coarse_grid, resolution=coarse_resolution, tile_q=tile_q,
+            slabs=slabs, trange=coarse_trange,
+        )
+        live = jnp.arange(cb, dtype=jnp.int32) < n_bad0
+        upd = live & cert_c
+        matched = matched.at[rows].set(
+            jnp.where(upd[:, None], m_c, matched[rows])
+        )
+        dist = dist.at[rows].set(jnp.where(upd, d_c, dist[rows]))
+        certified = certified.at[rows].set(certified[rows] | upd)
+
     bad = ~certified
     n_bad = jnp.sum(bad, dtype=jnp.int32)
     B = brute_batch
@@ -337,13 +380,15 @@ def nn_colsweep_exact(
         n_bad > 0, repair, lambda c: c, (matched, dist)
     )
 
-    def global_brute(_):
-        bi, bd = nn_bruteforce(query, target)
-        return target[bi], bd
+    if global_fallback:
+        def global_brute(_):
+            bi, bd = nn_bruteforce(query, target)
+            return target[bi], bd
 
-    matched, dist = jax.lax.cond(
-        n_bad > brute_passes * B, global_brute, lambda _: (matched, dist), None
-    )
+        matched, dist = jax.lax.cond(
+            n_bad > brute_passes * B, global_brute,
+            lambda _: (matched, dist), None,
+        )
     return matched, dist
 
 
@@ -359,14 +404,36 @@ def make_pallas_nn(
     grid = build_pallas_grid(
         target_local, resolution, trange=trange, dtype=np.float32
     )
-    return _pallas_fn(resolution, trange), grid, resolution
+    # Second level: 4× coarser grid (certificate radius 4 fine cells) for
+    # straggler repair; ranges are ~16× longer, hence the larger trange.
+    coarse_resolution = max(resolution // 4, 8)
+    coarse_trange = 16384
+    coarse = build_pallas_grid(
+        target_local, coarse_resolution, trange=coarse_trange,
+        dtype=np.float32,
+    )
+    # The global all-pairs fallback is kept only where it is compilable
+    # and affordable; beyond that the coarse level + budgeted brute repair
+    # plus coarse-to-fine initialization covers exactness.
+    global_fallback = len(target_local) <= 300_000
+    return (
+        _pallas_fn(resolution, coarse_resolution, trange, coarse_trange,
+                   global_fallback),
+        (grid, coarse),
+        resolution,
+    )
 
 
 @functools.lru_cache(maxsize=None)
-def _pallas_fn(resolution: int, trange: int):
+def _pallas_fn(resolution: int, coarse_resolution: int, trange: int,
+               coarse_trange: int, global_fallback: bool):
     def fn(query, target, nn_state):
+        grid, coarse = nn_state
         return nn_colsweep_exact(
-            query, target, nn_state, resolution=resolution, trange=trange
+            query, target, grid, coarse,
+            resolution=resolution, coarse_resolution=coarse_resolution,
+            trange=trange, coarse_trange=coarse_trange,
+            global_fallback=global_fallback,
         )
 
     return fn
