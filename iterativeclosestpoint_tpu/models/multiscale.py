@@ -54,6 +54,7 @@ def icp_register_multiscale(
     coarse_iterations: int = 20,
     coarse_tolerance: float = 1e-4,
     dtype=jnp.float32,
+    mesh=None,
     **fine_kwargs,
 ) -> MultiscaleResult:
     """Register via a stride pyramid; the fine level gets every point.
@@ -62,7 +63,10 @@ def icp_register_multiscale(
       strides: explicit pyramid, e.g. (16, 4, 1); default = one coarse
         level with stride ceil(N / coarse_max_points) then full res.
       coarse_*: iteration budget/tolerance for the non-final levels.
-      fine_kwargs: forwarded to the final full-resolution icp_register
+      mesh: optional device mesh — the full-resolution level then runs
+        data-parallel (parallel.icp_register_sharded); coarse levels are
+        small and stay single-device.
+      fine_kwargs: forwarded to the final full-resolution registration
         (nn_backend, max_iterations, tolerance, mode, ...).
     """
     source = np.asarray(source, np.float64)
@@ -81,9 +85,26 @@ def icp_register_multiscale(
     for li, stride in enumerate(strides):
         last = li == len(strides) - 1
         if last:
-            res = icp_register(
-                source, target, dtype=dtype, initial_transform=T, **fine_kwargs
-            )
+            if mesh is not None:
+                from iterativeclosestpoint_tpu.parallel.sharded import (
+                    icp_register_sharded,
+                )
+
+                # Sharded path has no initial_transform arg: pre-apply.
+                src_fine = source
+                if T is not None:
+                    src_fine = source @ T[:3, :3].T + T[:3, 3]
+                res = icp_register_sharded(
+                    src_fine, target, mesh=mesh, dtype=dtype, **fine_kwargs
+                )
+                if T is not None:
+                    res.transform = res.transform @ T
+                    res.history_transform = res.history_transform @ T
+            else:
+                res = icp_register(
+                    source, target, dtype=dtype, initial_transform=T,
+                    **fine_kwargs,
+                )
         else:
             res = icp_register(
                 source[::stride],

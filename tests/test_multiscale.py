@@ -64,3 +64,21 @@ def test_explicit_stride_pyramid():
         )
     )
     assert err < 5e-3
+
+
+def test_multiscale_sharded_fine_level():
+    from iterativeclosestpoint_tpu.parallel.mesh import make_mesh
+
+    src, tgt, T_true = make_registration_pair(n=6000, seed=93, noise_sigma=0.01)
+    res = icp_register_multiscale(
+        src, tgt, coarse_max_points=1000, dtype=jnp.float64,
+        mesh=make_mesh(n_devices=4), max_iterations=25,
+        nn_backend="bruteforce", return_registered=False,
+    )
+    assert res.success
+    err = float(
+        registration_error(
+            jnp.asarray(res.transform), jnp.asarray(T_true), jnp.asarray(src)
+        )
+    )
+    assert err < 1e-3, f"registration error {err}"

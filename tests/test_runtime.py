@@ -171,3 +171,16 @@ def test_cli_view(tmp_path):
     png = tmp_path / "out.png"
     assert cli_main(["view", str(sp), str(tp), "-o", str(png)]) == 0
     assert png.exists()
+
+
+def test_profiling_reports():
+    from iterativeclosestpoint_tpu.runtime.profiling import (
+        covariance_kernel_report,
+        nn_kernel_report,
+    )
+
+    r = nn_kernel_report(1_000_000, 128, 6, 2048, elapsed_s=0.05)
+    assert 0 < r.sol <= 2.0  # sane roofline range
+    assert "SoL" in r.line()
+    c = covariance_kernel_report(1_000_000, elapsed_s=0.001)
+    assert c.achieved_gbps > 0
