@@ -68,6 +68,18 @@ def main():
         times.append(time.perf_counter() - t0)
     elapsed = min(times)  # full pipeline: coarse + fine + host prep
     tpu_pps = N_POINTS * ITERS / elapsed
+
+    # Speed-of-light report for the hot kernels (BASELINE.md requirement).
+    from iterativeclosestpoint_tpu.runtime.profiling import (
+        covariance_kernel_report,
+        nn_kernel_report,
+    )
+
+    per_iter = elapsed / ITERS
+    log(nn_kernel_report(N_POINTS, 128, 6, 2048, per_iter).line()
+        + "  [full-iteration wall clock]")
+    log(covariance_kernel_report(N_POINTS, per_iter).line()
+        + "  [full-iteration wall clock]")
     log(f"tpu: {elapsed:.3f}s for {ITERS} iters of {N_POINTS} pts "
         f"-> {tpu_pps:,.0f} points/s/chip")
 

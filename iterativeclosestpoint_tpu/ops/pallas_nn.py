@@ -296,7 +296,7 @@ def nn_colsweep_exact(
     slabs: int = 6,
     trange: int = 2048,
     coarse_trange: int = 16384,
-    coarse_budget: int = 65536,
+    coarse_budget: int = 16384,
     brute_batch: int = 4096,
     brute_passes: int = 16,
     global_fallback: bool = True,
