@@ -236,7 +236,9 @@ def write_las(
         put_f64(off_max, pmax[i])
         put_f64(off_min, pmin[i])
 
-    ints = np.round((points - np.asarray(offset)) / np.asarray(scale)).astype("<i4")
+    ints = np.ascontiguousarray(
+        np.round((points - np.asarray(offset)) / np.asarray(scale)), "<i4"
+    )
     records = np.zeros((n, 20), np.uint8)  # point-format-0: 20-byte records
     records[:, 0:12] = ints.view(np.uint8).reshape(n, 12)
 

@@ -55,6 +55,7 @@ def icp_register_multiscale(
     coarse_tolerance: float = 1e-4,
     dtype=jnp.float32,
     mesh=None,
+    initial_transform: Optional[np.ndarray] = None,
     **fine_kwargs,
 ) -> MultiscaleResult:
     """Register via a stride pyramid; the fine level gets every point.
@@ -80,7 +81,11 @@ def icp_register_multiscale(
     if strides[-1] != 1:
         strides = tuple(strides) + (1,)
 
-    T = None
+    T = (
+        np.asarray(initial_transform, np.float64)
+        if initial_transform is not None
+        else None
+    )
     levels = []
     for li, stride in enumerate(strides):
         last = li == len(strides) - 1
