@@ -41,7 +41,7 @@ def cmd_run(args) -> int:
     settings = AppSettings.load(args.settings) if args.settings else AppSettings()
     cfg = settings.icp
     for field in ("max_iterations", "tolerance", "sigma_multiplier", "mode",
-                  "nn_backend"):
+                  "nn_backend", "estimator"):
         v = getattr(args, field, None)
         if v is not None:
             setattr(cfg, field, v)
@@ -262,6 +262,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--nn-backend", dest="nn_backend",
                    choices=["auto", "bruteforce", "hashgrid", "cellblock",
                             "pallas"])
+    r.add_argument("--estimator", choices=["point", "plane"],
+                   help="'point' = reference Kabsch semantics; 'plane' = "
+                        "point-to-plane extension (fast on smooth scans)")
     r.add_argument("--multiscale", action="store_true",
                    help="coarse-to-fine pyramid (replaces stride downsample)")
     r.add_argument("--rebase", action="store_true",

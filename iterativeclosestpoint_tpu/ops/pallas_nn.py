@@ -59,9 +59,14 @@ class PallasGrid(NamedTuple):
 
 
 def build_pallas_grid(
-    target: np.ndarray, resolution: int, trange: int = 2048, dtype=np.float32
+    target: np.ndarray, resolution: int, trange: int = 2048, dtype=np.float32,
+    normals: "np.ndarray | None" = None,
 ) -> PallasGrid:
-    """Host-side build (same CSR structure as ops/cellblock, transposed)."""
+    """Host-side build (same CSR structure as ops/cellblock, transposed).
+
+    With ``normals`` (M,3), rows 3-5 of the transposed buffer carry the
+    per-point normals so the kernel's one-hot contraction extracts the
+    winner's normal for free (point-to-plane mode)."""
     target = np.asarray(target)
     R = resolution
     tmin = target.min(axis=0)
@@ -75,6 +80,9 @@ def build_pallas_grid(
 
     tt = np.full((8, len(target) + trange), _FAR, dtype)
     tt[:3, : len(target)] = target[order].T
+    if normals is not None:
+        tt[3:6, :] = 0.0
+        tt[3:6, : len(target)] = np.asarray(normals)[order].T
 
     return PallasGrid(
         tgt_t=jnp.asarray(tt),
@@ -112,7 +120,7 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
         qz = q_ref[0, 2, :]
 
         best_d2 = jnp.full((tile_q,), big, jnp.float32)
-        best_xyz = jnp.zeros((tile_q, 3), jnp.float32)
+        best_xyz = jnp.zeros((tile_q, 6), jnp.float32)
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         oh_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_q, chunk), 1)
@@ -137,20 +145,23 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
                 d2 = jnp.where(ok, d2, big)
                 j = jnp.argmin(d2, axis=1)  # (tile_q,)
                 dmin = jnp.min(d2, axis=1)
-                # Winner coordinates via one-hot MXU contraction (no gather).
+                # Winner coordinates (and, rows 3-5, the winner's normal
+                # when the grid packs normals) via one one-hot MXU
+                # contraction — no gather.
                 onehot = (oh_iota == j[:, None]).astype(jnp.float32)
                 coords = jax.lax.dot_general(
-                    onehot, c[0:3, :],
+                    onehot, c[0:6, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (tile_q, 3)
+                )  # (tile_q, 6)
                 take = dmin < best_d2
                 best_d2 = jnp.where(take, dmin, best_d2)
                 best_xyz = jnp.where(take[:, None], coords, best_xyz)
 
-        # Single (8, tile_q) output block: rows 0-2 = matched xyz, row 3 = d².
-        out_ref[0, 0:3, :] = best_xyz.T
-        out_ref[0, 3, :] = best_d2
+        # Single (8, tile_q) output block: rows 0-2 = matched xyz,
+        # rows 3-5 = matched normal (zero unless packed), row 6 = d².
+        out_ref[0, 0:6, :] = best_xyz.T
+        out_ref[0, 6, :] = best_d2
 
     return kernel
 
@@ -171,8 +182,8 @@ def nn_colsweep(
     """Slab-sweep grid 1-NN (Pallas).
 
     ``query``: (N, 3), Morton-sorted for coherence, any N (padded here by
-    replicating the last row). Returns (matched (N,3), dist (N,),
-    certified (N,) bool).
+    replicating the last row). Returns (matched (N,3), normal (N,3) —
+    zeros unless the grid packs normals, dist (N,), certified (N,) bool).
     """
     R = resolution
     n_in = query.shape[0]
@@ -269,11 +280,12 @@ def nn_colsweep(
         interpret=(jax.default_backend() != "tpu"),
     )(base.reshape(-1), start.reshape(-1), end.reshape(-1), q_tiles, grid.tgt_t)
 
-    d2 = out[:, 3, :].reshape(n)
+    d2 = out[:, 6, :].reshape(n)
     dist = jnp.sqrt(jnp.maximum(d2, 0.0)).astype(query.dtype)
     matched = out[:, 0:3, :].transpose(0, 2, 1).reshape(n, 3).astype(query.dtype)
+    normal = out[:, 3:6, :].transpose(0, 2, 1).reshape(n, 3).astype(query.dtype)
     certified = inside & query_complete & (dist <= grid.cell_size)
-    return matched[:n_in], dist[:n_in], certified[:n_in]
+    return matched[:n_in], normal[:n_in], dist[:n_in], certified[:n_in]
 
 
 @functools.partial(
@@ -289,6 +301,7 @@ def nn_colsweep_exact(
     target: jnp.ndarray,
     grid: PallasGrid,
     coarse_grid: "PallasGrid | None" = None,
+    target_normals: "jnp.ndarray | None" = None,
     *,
     resolution: int,
     coarse_resolution: int = 0,
@@ -316,13 +329,24 @@ def nn_colsweep_exact(
     coarse/brute budgets — which coarse-to-fine alignment
     (models/multiscale.py) guarantees in practice.
 
-    Returns (matched (N,3), dist (N,)).
+    ``target_normals`` (M,3) enables point-to-plane support: the repaired
+    matches' normals are gathered alongside (the kernel path extracts
+    them from the packed grid rows for free).
+
+    Returns (matched (N,3), normal (N,3) — zeros when no normals, dist).
     """
-    matched, dist, certified = nn_colsweep(
+    m3, nrm, dist, certified = nn_colsweep(
         query, grid, resolution=resolution, tile_q=tile_q, slabs=slabs,
         trange=trange,
     )
+    matched = jnp.concatenate([m3, nrm], axis=1)  # (N, 6): xyz + normal
     n = query.shape[0]
+
+    def tgt6(bi):
+        bm = target[bi]
+        if target_normals is not None:
+            return jnp.concatenate([bm, target_normals[bi]], axis=1)
+        return jnp.concatenate([bm, jnp.zeros_like(bm)], axis=1)
 
     if coarse_grid is not None and coarse_resolution:
         cb = min(coarse_budget, n)  # nn_colsweep pads to tiles internally
@@ -330,14 +354,15 @@ def nn_colsweep_exact(
         n_bad0 = jnp.sum(~certified, dtype=jnp.int32)
         rows = perm0[:cb]
         qc = query[rows]
-        m_c, d_c, cert_c = nn_colsweep(
+        m_c, n_c, d_c, cert_c = nn_colsweep(
             qc, coarse_grid, resolution=coarse_resolution, tile_q=tile_q,
             slabs=slabs, trange=coarse_trange,
         )
+        m_c6 = jnp.concatenate([m_c, n_c], axis=1)
         live = jnp.arange(cb, dtype=jnp.int32) < n_bad0
         upd = live & cert_c
         matched = matched.at[rows].set(
-            jnp.where(upd[:, None], m_c, matched[rows])
+            jnp.where(upd[:, None], m_c6, matched[rows])
         )
         dist = dist.at[rows].set(jnp.where(upd, d_c, dist[rows]))
         certified = certified.at[rows].set(certified[rows] | upd)
@@ -365,7 +390,7 @@ def nn_colsweep_exact(
                 bi, bd = nn_bruteforce(
                     qb, target, query_chunk=B, target_tile=16384
                 )
-                bm = target[bi]
+                bm = tgt6(bi)
                 live = p * B + jnp.arange(B, dtype=jnp.int32) < n_bad
                 return (
                     mc.at[rows].set(jnp.where(live[:, None], bm, mc[rows])),
@@ -383,13 +408,13 @@ def nn_colsweep_exact(
     if global_fallback:
         def global_brute(_):
             bi, bd = nn_bruteforce(query, target)
-            return target[bi], bd
+            return tgt6(bi), bd
 
         matched, dist = jax.lax.cond(
             n_bad > brute_passes * B, global_brute,
             lambda _: (matched, dist), None,
         )
-    return matched, dist
+    return matched[:, 0:3], matched[:, 3:6], dist
 
 
 def make_pallas_nn(
@@ -397,12 +422,30 @@ def make_pallas_nn(
     resolution: int | None = None,
     trange: int = 2048,
     dtype=np.float32,
+    with_normals: bool = False,
 ):
-    """Build grid + (nn_fn, nn_state, resolution) for the ICP driver."""
+    """Build grid + (nn_fn, nn_state, resolution) for the ICP driver.
+
+    ``with_normals=True`` estimates target normals (cell PCA) and packs
+    them into the grids; the nn_fn then returns
+    (matched, dist, normal) — the point-to-plane contract.
+    """
     if resolution is None:
         resolution = auto_resolution_data(target_local)
+
+    normals = None
+    normals_dev = None
+    if with_normals:
+        from iterativeclosestpoint_tpu.ops.normals import (
+            estimate_normals_cellpca,
+        )
+
+        normals = estimate_normals_cellpca(target_local, resolution)
+        normals_dev = jnp.asarray(normals, jnp.float32)
+
     grid = build_pallas_grid(
-        target_local, resolution, trange=trange, dtype=np.float32
+        target_local, resolution, trange=trange, dtype=np.float32,
+        normals=normals,
     )
     # Second level: 4× coarser grid (certificate radius 4 fine cells) for
     # straggler repair; ranges are ~16× longer, hence the larger trange.
@@ -410,31 +453,37 @@ def make_pallas_nn(
     coarse_trange = 16384
     coarse = build_pallas_grid(
         target_local, coarse_resolution, trange=coarse_trange,
-        dtype=np.float32,
+        dtype=np.float32, normals=normals,
     )
     # The global all-pairs fallback is kept only where it is compilable
     # and affordable; beyond that the coarse level + budgeted brute repair
     # plus coarse-to-fine initialization covers exactness.
     global_fallback = len(target_local) <= 300_000
+    state = (grid, coarse, normals_dev if with_normals else jnp.zeros((0,)))
     return (
         _pallas_fn(resolution, coarse_resolution, trange, coarse_trange,
-                   global_fallback),
-        (grid, coarse),
+                   global_fallback, with_normals),
+        state,
         resolution,
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _pallas_fn(resolution: int, coarse_resolution: int, trange: int,
-               coarse_trange: int, global_fallback: bool):
+               coarse_trange: int, global_fallback: bool,
+               with_normals: bool = False):
     def fn(query, target, nn_state):
-        grid, coarse = nn_state
-        return nn_colsweep_exact(
+        grid, coarse, normals = nn_state
+        m, nrm, d = nn_colsweep_exact(
             query, target, grid, coarse,
+            normals if with_normals else None,
             resolution=resolution, coarse_resolution=coarse_resolution,
             trange=trange, coarse_trange=coarse_trange,
             global_fallback=global_fallback,
         )
+        if with_normals:
+            return m, d, nrm
+        return m, d
 
     return fn
 

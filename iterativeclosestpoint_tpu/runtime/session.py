@@ -113,6 +113,7 @@ class RegistrationSession:
                 sigma_multiplier=cfg.sigma_multiplier,
                 mode=cfg.mode,
                 nn_backend=cfg.nn_backend,
+                estimator=cfg.estimator,
                 initial_transform=initial_transform,
                 **overrides,
             )

@@ -32,6 +32,9 @@ class ICPConfig:
     mode: str = "gui"
     # NN backend: "auto" | "bruteforce" | "hashgrid" | "pallas".
     nn_backend: str = "auto"
+    # Pose estimator: "point" (reference Kabsch semantics) or "plane"
+    # (point-to-plane extension — far faster convergence on smooth scans).
+    estimator: str = "point"
 
     # Validation ranges from settingspage.cpp:52-78.
     _RANGES = {
@@ -49,8 +52,12 @@ class ICPConfig:
                 raise ValueError(f"{field}={v} outside valid range [{lo}, {hi}]")
         if self.mode not in ("gui", "cli"):
             raise ValueError(f"mode must be 'gui' or 'cli', got {self.mode!r}")
-        if self.nn_backend not in ("auto", "bruteforce", "hashgrid", "pallas"):
+        if self.nn_backend not in (
+            "auto", "bruteforce", "hashgrid", "cellblock", "pallas"
+        ):
             raise ValueError(f"unknown nn_backend {self.nn_backend!r}")
+        if self.estimator not in ("point", "plane"):
+            raise ValueError(f"unknown estimator {self.estimator!r}")
         return self
 
 

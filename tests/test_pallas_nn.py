@@ -27,7 +27,7 @@ def test_certified_exact(kind):
     q = q[morton_order(q, R)]
     grid = build_pallas_grid(tgt, R)
 
-    m, d, cert = nn_colsweep(jnp.asarray(q, jnp.float32), grid, resolution=R)
+    m, _nrm, d, cert = nn_colsweep(jnp.asarray(q, jnp.float32), grid, resolution=R)
     d_ref, i_ref = cKDTree(tgt).query(q)
     cert = np.asarray(cert)
     assert cert.mean() > 0.85, f"cert rate {cert.mean()}"
@@ -49,7 +49,7 @@ def test_exact_variant_with_outliers():
     R = auto_resolution_data(tgt)
     q = q[morton_order(q, R)]
     grid = build_pallas_grid(tgt, R)
-    m, d = nn_colsweep_exact(
+    m, _nrm, d = nn_colsweep_exact(
         jnp.asarray(q, jnp.float32), jnp.asarray(tgt, jnp.float32), grid,
         resolution=R, brute_batch=512, brute_passes=4,
     )
@@ -84,3 +84,22 @@ def test_icp_with_pallas_backend():
         )
     )
     assert err_p < max(3 * err_b, 1e-3), f"pallas {err_p} vs brute {err_b}"
+
+
+def test_normals_packed_and_extracted():
+    from iterativeclosestpoint_tpu.ops.normals import estimate_normals_cellpca
+
+    tgt = make_cloud(8000, seed=84)
+    R = auto_resolution_data(tgt)
+    nrm_ref = estimate_normals_cellpca(tgt, R)
+    grid = build_pallas_grid(tgt, R, normals=nrm_ref)
+    rng = np.random.default_rng(2)
+    q = tgt + rng.normal(0, 0.02, tgt.shape)
+    q = q[morton_order(q, R)]
+    m, nrm, d, cert = nn_colsweep(jnp.asarray(q, jnp.float32), grid, resolution=R)
+    cert = np.asarray(cert)
+    d_ref, i_ref = cKDTree(tgt).query(q)
+    # Matched normals equal the normals of the matched target points.
+    np.testing.assert_allclose(
+        np.asarray(nrm)[cert], nrm_ref[i_ref][cert], atol=1e-3
+    )
