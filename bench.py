@@ -105,6 +105,46 @@ def main():
     except Exception as e:  # baseline is optional; the metric is not
         log(f"baseline unavailable: {e}")
 
+    # Parity section (BASELINE metric: iterations-to-converge, converged
+    # RMSE, transform error vs the reference implementation): register one
+    # well-conditioned pair with both engines from identical inputs.
+    if os.environ.get("BENCH_PARITY", "1") == "1":
+        try:
+            import jax.numpy as jnp
+            import numpy as np
+
+            from iterativeclosestpoint_tpu.models.icp import icp_register
+            from iterativeclosestpoint_tpu.ops.se3 import registration_error
+            from iterativeclosestpoint_tpu.runtime.native import (
+                native_available,
+                octree_icp_baseline,
+            )
+
+            psrc, ptgt, _ = make_registration_pair(
+                n=50_000, seed=3, noise_sigma=0.01, kind="sphere"
+            )
+            ours = icp_register(
+                psrc, ptgt, dtype=jnp.float32, nn_backend="bruteforce",
+                max_iterations=50, tolerance=1e-6, return_registered=False,
+            )
+            log(f"parity: ours iters={ours.iterations} "
+                f"rmse={ours.rmse:.6f} ({ours.message})")
+            if native_available():
+                T_ref, hist, it_ref, _, _ = octree_icp_baseline(
+                    psrc, ptgt, max_iterations=50, tolerance=1e-6
+                )
+                err = float(registration_error(
+                    jnp.asarray(ours.transform, jnp.float64),
+                    jnp.asarray(T_ref),
+                    jnp.asarray(psrc),
+                ))
+                log(f"parity: reference iters={it_ref} "
+                    f"rmse={hist[-1] if len(hist) else 0:.6f}; "
+                    f"transform error vs reference = {err:.2e} m "
+                    f"({'PASS' if err < 1e-4 else 'above'} 1e-4 gate)")
+        except Exception as e:
+            log(f"parity section failed: {e}")
+
     print(json.dumps({
         "metric": "icp_points_per_sec_per_chip",
         "value": round(tpu_pps),

@@ -51,6 +51,17 @@ def cmd_run(args) -> int:
     sess = RegistrationSession(settings=settings, metrics=metrics)
     sess.load_source(args.source, stride=args.stride)
     sess.load_target(args.target, stride=args.stride)
+    if args.voxel:
+        from iterativeclosestpoint_tpu.ops.downsample import (
+            downsample_voxel_stride,
+        )
+
+        sess.set_clouds(
+            downsample_voxel_stride(sess.source, args.voxel),
+            downsample_voxel_stride(sess.target, args.voxel),
+        )
+        _print(f"voxel downsample {args.voxel} m -> "
+               f"{len(sess.source)} / {len(sess.target)} points")
 
     initial = None
     if args.resume:
@@ -255,6 +266,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--stride", type=int, default=1,
                    help="decode-time downsample stride (CLI default 50 in "
                         "the reference; 1 = all points)")
+    r.add_argument("--voxel", type=float, default=0.0,
+                   help="voxel-grid downsample size in metres (0 = off; "
+                        "spatially uniform, unlike stride)")
     r.add_argument("--max-iterations", type=int, dest="max_iterations")
     r.add_argument("--tolerance", type=float)
     r.add_argument("--sigma-multiplier", type=float, dest="sigma_multiplier")

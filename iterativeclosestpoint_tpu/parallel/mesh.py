@@ -39,6 +39,27 @@ def make_mesh(
     raise ValueError("only 1-D meshes supported so far")
 
 
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Mesh:
+    """Initialize JAX distributed for an N-host pod slice and return the
+    global dp mesh (DCN across hosts × ICI across chips).
+
+    On single-host runs this is a no-op mesh over local devices. On a pod
+    slice, call on every host (arguments can come from the cluster
+    environment; jax.distributed auto-detects on Cloud TPU).
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return make_mesh(devices=jax.devices())
+
+
 def pad_to_multiple(x: np.ndarray, m: int):
     """Pad axis 0 of ``x`` to a multiple of ``m`` (zeros); returns
     (padded, weight) where weight is 1.0 for real rows, 0.0 for padding."""
