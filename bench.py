@@ -120,9 +120,24 @@ def main():
                 octree_icp_baseline,
             )
 
-            psrc, ptgt, _ = make_registration_pair(
-                n=50_000, seed=3, noise_sigma=0.01, kind="sphere"
+            # Mild, well-conditioned perturbation (terrain locks all six
+            # DoF; a 0.3 m / 2° start is inside the convergence basin for
+            # both engines, so converged transforms are comparable).
+            from iterativeclosestpoint_tpu.utils.synth import (
+                apply_transform_np,
+                make_cloud,
+                random_rigid_transform,
             )
+
+            ptgt = make_cloud(50_000, seed=3)
+            T_mild = random_rigid_transform(
+                seed=3, max_yaw_deg=2.0, max_pitch_roll_deg=1.0,
+                max_txy=0.3, max_tz=0.2,
+            )
+            Ti = np.linalg.inv(T_mild)
+            psrc = apply_transform_np(Ti, ptgt) + np.random.default_rng(
+                4
+            ).normal(0, 0.01, ptgt.shape)
             ours = icp_register(
                 psrc, ptgt, dtype=jnp.float32, nn_backend="bruteforce",
                 max_iterations=50, tolerance=1e-6, return_registered=False,
@@ -134,9 +149,9 @@ def main():
                     psrc, ptgt, max_iterations=50, tolerance=1e-6
                 )
                 err = float(registration_error(
-                    jnp.asarray(ours.transform, jnp.float64),
-                    jnp.asarray(T_ref),
-                    jnp.asarray(psrc),
+                    jnp.asarray(ours.transform, jnp.float32),
+                    jnp.asarray(T_ref, jnp.float32),
+                    jnp.asarray(psrc, jnp.float32),
                 ))
                 log(f"parity: reference iters={it_ref} "
                     f"rmse={hist[-1] if len(hist) else 0:.6f}; "

@@ -180,6 +180,25 @@ def _kabsch_global(src, dst, valid, ps):
     return rigid_from_covariance(Hm, c_s, c_d).astype(f)
 
 
+def highest_matmul_precision(fn):
+    """Trace ``fn`` under full-f32 matmul precision.
+
+    TPU matmuls with f32 inputs default to bf16 MXU passes; for geometry
+    even the tiny ones matter — an unannotated 4×4 ``T @ T_cum`` pose
+    composition injects ~1e-3 rotation error per ICP iteration, which
+    stalls convergence (diagnosed against the f64/CPU trajectory). Every
+    trace entry point of the framework wraps itself with this.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@highest_matmul_precision
 def icp_core_impl(
     source: jnp.ndarray,
     weight: jnp.ndarray,

@@ -40,7 +40,19 @@ def _edge_residual(xi_i, xi_j, T_i, T_j, Z_inv):
     return se3_log(Z_inv @ (Ti_inv @ Tj))
 
 
+def _highest(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+
+    return wrapped
+
+
 @jax.jit
+@_highest
 def _edge_system(T_i, T_j, Z_inv, weight):
     """Per-edge residual + exact Jacobians at ξ=0 → (r, J_i, J_j) scaled."""
     z6 = jnp.zeros(6, T_i.dtype)
@@ -97,6 +109,27 @@ def optimize_pose_graph(
     it_done = 0
     converged = False
     res_rmse = float("inf")
+    with jax.default_matmul_precision("highest"):  # TPU: no bf16 geometry
+        res_rmse, it_done, converged, poses = _gn_loop(
+            max_iterations, edge_sys, poses, ii_j, jj_j, Zi, wj, k,
+            dtype, damping, tolerance,
+        )
+
+    return PoseGraphResult(
+        poses=np.asarray(poses, np.float64),
+        iterations=it_done,
+        residual_rmse=res_rmse,
+        converged=converged,
+    )
+
+
+def _gn_loop(
+    max_iterations, edge_sys, poses, ii_j, jj_j, Zi, wj, k, dtype,
+    damping, tolerance,
+):
+    it_done = 0
+    converged = False
+    res_rmse = float("inf")
     for it in range(max_iterations):
         r, J_i, J_j = edge_sys(poses[ii_j], poses[jj_j], Zi, wj)
         res_rmse = float(jnp.sqrt(jnp.mean(r**2)))
@@ -141,12 +174,7 @@ def optimize_pose_graph(
             converged = True
             break
 
-    return PoseGraphResult(
-        poses=np.asarray(poses, np.float64),
-        iterations=it_done,
-        residual_rmse=res_rmse,
-        converged=converged,
-    )
+    return res_rmse, it_done, converged, poses
 
 
 def register_scans(

@@ -44,7 +44,7 @@ def nn_bruteforce(
     *,
     query_chunk: int = 2048,
     target_tile: int = 2048,
-    use_matmul: bool = True,
+    use_matmul: bool = False,
 ):
     """Exact 1-NN of each query point in the target cloud.
 
@@ -53,8 +53,13 @@ def nn_bruteforce(
       target: (M, 3) target points.
       query_chunk: queries processed per step (bounds memory).
       target_tile: target tile size per scan step.
-      use_matmul: route the cross term through the MXU (fast); if False,
-        compute explicit differences (slower, more accurate — for tests).
+      use_matmul: route the cross term through the MXU. OFF by default:
+        in f32 the |q|²−2q·t+|t|² form loses ~|coords|²·eps ≈ 3e-4 of d²
+        at 50 m extents — catastrophic near convergence where true d² is
+        smaller than that (argmin picks effectively random neighbors and
+        ICP stalls). The explicit-difference form is exact in f32 and,
+        at the sizes brute force is actually used for (coarse levels,
+        repair batches, ≤100k clouds), bandwidth/VPU cost is equivalent.
 
     Returns:
       (indices (N,) int32, distances (N,) same dtype as query).
