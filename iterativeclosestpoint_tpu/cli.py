@@ -81,6 +81,7 @@ def cmd_run(args) -> int:
         multiscale=args.multiscale,
         checkpoint_path=args.checkpoint,
         initial_transform=initial,
+        live_every=args.live_every,
     )
 
     if args.output:
@@ -281,6 +282,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "point-to-plane extension (fast on smooth scans)")
     r.add_argument("--multiscale", action="store_true",
                    help="coarse-to-fine pyramid (replaces stride downsample)")
+    r.add_argument("--live-every", dest="live_every", type=int, default=0,
+                   metavar="K",
+                   help="stream per-iteration progress every K iterations "
+                        "(segmented dispatch; also the cooperative-stop "
+                        "granularity)")
     r.add_argument("--rebase", action="store_true",
                    help="GUI-style writer: re-base offsets to cloud min")
     r.add_argument("--settings", help="settings JSON path")

@@ -53,12 +53,14 @@ CONVERGED = 1
 DIVERGED = 2
 TOO_FEW_VALID = 3
 MAX_ITERATIONS = 4
+STOPPED = 5  # cooperative user stop (registrationservice.cpp:215-220)
 
 _STOP_MESSAGES = {
     CONVERGED: "converged",
     DIVERGED: "diverged",
     TOO_FEW_VALID: "insufficient valid pairs",
     MAX_ITERATIONS: "max iterations reached",
+    STOPPED: "stopped by user",
 }
 
 
@@ -212,6 +214,7 @@ def icp_core_impl(
     widen_first: bool,
     axis_name: Optional[str] = None,
     estimator: str = "point",
+    carry: Optional[tuple] = None,
 ):
     """The ICP loop in the centered local frame. Returns a dict.
 
@@ -219,6 +222,12 @@ def icp_core_impl(
     shard_map data-parallel path (``axis_name='dp'`` — source/weight are
     per-device shards; every statistic is psum-reduced so all devices step
     through identical convergence decisions and history records).
+
+    ``carry`` = (T_cum, prev_error, no_improve) resumes the convergence
+    state machine mid-run: segmented execution (session cooperative stop /
+    live progress, runtime/session.py) and checkpoint resume dispatch the
+    same compiled loop in slices whose concatenated trajectory is
+    bit-identical to a single long dispatch.
     """
     f = source.dtype
     H = max_iterations
@@ -228,11 +237,21 @@ def icp_core_impl(
     else:
         ps = lambda x: jax.lax.psum(x, axis_name)
 
+    if carry is None:
+        c_T = jnp.eye(4, dtype=f)
+        c_prev = jnp.asarray(1e10, f)
+        c_noimp = jnp.asarray(0, jnp.int32)
+    else:
+        c_T, c_prev, c_noimp = carry
+        c_T = c_T.astype(f)
+        c_prev = c_prev.astype(f)
+        c_noimp = c_noimp.astype(jnp.int32)
+
     state = {
         "src": source,
-        "T_cum": jnp.eye(4, dtype=f),
-        "prev_error": jnp.asarray(1e10, f),
-        "no_improve": jnp.asarray(0, jnp.int32),
+        "T_cum": c_T,
+        "prev_error": c_prev,
+        "no_improve": c_noimp,
         "iter": jnp.asarray(0, jnp.int32),
         "stop": jnp.asarray(RUNNING, jnp.int32),
         "recorded": jnp.asarray(0, jnp.int32),
@@ -333,6 +352,8 @@ def _icp_core(
     source: jnp.ndarray,
     target: jnp.ndarray,
     nn_state,
+    carry=None,
+    weight=None,
     *,
     nn_fn: Callable,
     max_iterations: int,
@@ -341,8 +362,10 @@ def _icp_core(
     widen_first: bool,
     estimator: str = "point",
 ):
-    """Single-device compiled entry for icp_core_impl."""
-    weight = jnp.ones(source.shape[:1], source.dtype)
+    """Single-device compiled entry for icp_core_impl. ``weight`` marks
+    real (1) vs layout-padding (0) rows; None means all-real."""
+    if weight is None:
+        weight = jnp.ones(source.shape[:1], source.dtype)
     return icp_core_impl(
         source,
         weight,
@@ -355,6 +378,7 @@ def _icp_core(
         widen_first=widen_first,
         axis_name=None,
         estimator=estimator,
+        carry=carry,
     )
 
 
@@ -379,13 +403,16 @@ def _default_nn(
     cell_capacity,
     estimator: str = "point",
 ):
-    """Pick the NN kernel; returns (nn_fn, nn_state, query_perm | None).
+    """Pick the NN kernel; returns (nn_fn, nn_state, rows | None,
+    weight | None).
 
     'auto': brute force while the all-pairs work is small (it is exact and
     rides the MXU); cell-blocked grid beyond — O(N) per iteration vs
-    O(N·M). ``query_perm`` is a host-side permutation the caller must
-    apply to the source (Morton order for tile coherence) — statistics are
-    permutation-invariant, so only the final cloud needs un-permuting.
+    O(N·M). ``rows`` is a host-side row layout the caller must apply to
+    the source (Morton order for tile coherence; the pallas backend uses
+    the x-group-aligned layout with replicated padding rows, whose
+    ``weight`` vector is 0 on padding) — every statistic is weight-masked
+    and permutation-invariant, so only the final cloud needs un-permuting.
     """
     m = len(target_local)
     n = len(source_local)
@@ -410,8 +437,8 @@ def _default_nn(
             nrm = estimate_normals_cellpca(
                 target_local, auto_resolution_data(target_local)
             )
-            return _brute_plane_adapter, jnp.asarray(nrm, dtype), None
-        return _brute_adapter, (), None
+            return _brute_plane_adapter, jnp.asarray(nrm, dtype), None, None
+        return _brute_adapter, (), None, None
     if nn_backend == "cellblock":
         from iterativeclosestpoint_tpu.ops.cellblock import (
             make_cellblock_nn,
@@ -424,7 +451,7 @@ def _default_nn(
             dtype=dtype,
         )
         perm = morton_order(source_local, resolution)
-        return nn_fn, grid, perm
+        return nn_fn, grid, perm, None
     if nn_backend == "hashgrid":
         from iterativeclosestpoint_tpu.ops.hashgrid import make_hashgrid_nn
 
@@ -432,26 +459,154 @@ def _default_nn(
             target_local, resolution=grid_resolution or 64,
             capacity=cell_capacity, dtype=dtype,
         )
-        return fn, grid, None
+        return fn, grid, None, None
     if nn_backend == "pallas":
-        from iterativeclosestpoint_tpu.ops.cellblock import morton_order
-        from iterativeclosestpoint_tpu.ops.pallas_nn import make_pallas_nn
+        from iterativeclosestpoint_tpu.ops.pallas_nn import (
+            grouped_tile_order,
+            make_pallas_nn,
+        )
 
         nn_fn, grid, resolution = make_pallas_nn(
             target_local, resolution=grid_resolution, dtype=dtype,
             with_normals=(estimator == "plane"),
         )
-        perm = morton_order(source_local, resolution)
-        return nn_fn, grid, perm
+        rows, weight = grouped_tile_order(
+            source_local, grid[0], resolution
+        )
+        return nn_fn, grid, rows, weight
     raise ValueError(f"unknown nn_backend {nn_backend!r}")
 
 
-def apply_permutation(res: ICPResult, perm: np.ndarray) -> ICPResult:
-    """Undo a query permutation on the per-point output (the registered
-    cloud); all other fields are permutation-invariant."""
+def _rebase_transform(T_local: np.ndarray, offset: np.ndarray) -> np.ndarray:
+    """T_world = Shift(offset) @ T_local @ Shift(-offset)."""
+    T = np.asarray(T_local, np.float64).copy()
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    T[..., :3, 3] = t + offset - (R @ offset)
+    return T
+
+
+_HIST_KEYS = ("h_rmse", "h_valid", "h_out", "h_T", "h_mean", "h_std", "h_thr")
+
+
+def _run_segmented(
+    src_local,
+    tgt_local,
+    nn_state,
+    offset,
+    *,
+    weight=None,
+    nn_fn,
+    max_iterations,
+    segment_iterations,
+    tolerance,
+    sigma_multiplier,
+    widen_first,
+    estimator,
+    progress_callback,
+    stop_event,
+):
+    """Dispatch the compiled ICP loop in slices of ``segment_iterations``,
+    carrying (src, T_cum, prev_error, no_improve) across dispatches.
+
+    The concatenated trajectory is identical to one long dispatch (same
+    compiled body, same carried convergence state machine); between
+    segments the host can emit live per-iteration records (the reference's
+    ``iterationCompleted`` signal, icpengine.cpp:366-367) and honor a
+    cooperative stop flag (the reference checks ``m_shouldStop`` once per
+    iteration, icpengine.cpp:160-164 — segment size is our stop
+    granularity).
+    """
+    f = src_local.dtype
+    carry = (
+        jnp.eye(4, dtype=f),
+        jnp.asarray(1e10, f),
+        jnp.asarray(0, jnp.int32),
+    )
+    parts = {k: [] for k in _HIST_KEYS}
+    total_recorded = 0
+    done = 0
+    stop = MAX_ITERATIONS
+    src = src_local
+    while done < max_iterations:
+        seg_n = min(segment_iterations, max_iterations - done)
+        out = _icp_core(
+            src, tgt_local, nn_state, carry, weight,
+            nn_fn=nn_fn, max_iterations=seg_n, tolerance=tolerance,
+            sigma_multiplier=sigma_multiplier,
+            widen_first=(widen_first and done == 0), estimator=estimator,
+        )
+        k = int(out["recorded"])
+        for key in _HIST_KEYS:
+            parts[key].append(np.asarray(out[key][:k]))
+        src = out["src"]
+        carry = (out["T_cum"], out["prev_error"], out["no_improve"])
+        seg_stop = int(out["stop"])
+
+        if progress_callback is not None:
+            seg_T_world = _rebase_transform(np.asarray(out["h_T"][:k]), offset)
+            for i in range(k):
+                Tw = seg_T_world[i]
+                rot = float(np.degrees(np.arccos(np.clip(
+                    (np.trace(Tw[:3, :3]) - 1) / 2, -1, 1))))
+                progress_callback(
+                    {
+                        "iteration": total_recorded + i + 1,
+                        "rmse": float(out["h_rmse"][i]),
+                        "valid_points": int(out["h_valid"][i]),
+                        "outlier_points": int(out["h_out"][i]),
+                        "transform": Tw,
+                        "rotation_angle_deg": rot,
+                        "translation_norm": float(np.linalg.norm(Tw[:3, 3])),
+                        "mean_dist": float(out["h_mean"][i]),
+                        "std_dist": float(out["h_std"][i]),
+                        "threshold": float(out["h_thr"][i]),
+                    }
+                )
+        total_recorded += k
+        done += seg_n
+        if seg_stop != MAX_ITERATIONS:
+            stop = seg_stop
+            break
+        if stop_event is not None and stop_event.is_set():
+            stop = STOPPED
+            break
+
+    return {
+        "src": src,
+        "T_cum": carry[0],
+        "prev_error": carry[1],
+        "no_improve": carry[2],
+        "iter": np.asarray(done, np.int32),
+        "stop": np.asarray(stop, np.int32),
+        "recorded": np.asarray(total_recorded, np.int32),
+        **{
+            k: (
+                np.concatenate(parts[k])
+                if parts[k]
+                else np.zeros((0,) + ((4, 4) if k == "h_T" else ()))
+            )
+            for k in _HIST_KEYS
+        },
+    }
+
+
+def apply_permutation(
+    res: ICPResult, rows: np.ndarray, weight: "np.ndarray | None" = None,
+    n_orig: "int | None" = None,
+) -> ICPResult:
+    """Undo a query row layout on the per-point output (the registered
+    cloud); all other fields are layout-invariant. ``rows`` may contain
+    replicated padding rows (grouped tile layout) marked by weight 0."""
     if res.source_registered is not None:
-        unperm = np.empty_like(res.source_registered)
-        unperm[perm] = res.source_registered
+        reg = res.source_registered
+        if weight is None:
+            unperm = np.empty_like(reg)
+            unperm[rows] = reg
+        else:
+            real = weight > 0
+            unperm = np.empty((n_orig or len(rows), reg.shape[1]), reg.dtype)
+            unperm[rows[real]] = reg[real]
         res.source_registered = unperm
     return res
 
@@ -474,6 +629,9 @@ def icp_register(
     center: bool = True,
     return_registered: bool = True,
     initial_transform: Optional[np.ndarray] = None,
+    segment_iterations: int = 0,
+    progress_callback: Optional[Callable] = None,
+    stop_event=None,
 ) -> ICPResult:
     """Register ``source`` onto ``target``; returns world-frame results.
 
@@ -483,6 +641,13 @@ def icp_register(
 
     ``initial_transform`` (4,4) pre-aligns the source (e.g. a coarse-level
     estimate, models/multiscale.py); the returned transforms include it.
+
+    ``segment_iterations`` > 0 dispatches the loop in compiled slices of
+    that many iterations (identical trajectory), enabling
+    ``progress_callback`` (live per-iteration records — the reference's
+    iterationCompleted signal) and ``stop_event`` (a threading.Event;
+    cooperative stop with segment granularity — registrationservice
+    stopRegistration equivalent).
     """
     source = np.asarray(source, np.float64)
     target = np.asarray(target, np.float64)
@@ -499,31 +664,46 @@ def icp_register(
     if estimator not in ("point", "plane"):
         raise ValueError(f"unknown estimator {estimator!r}")
     src_np = source - offset
-    perm = None
+    n_orig = len(src_np)
+    rows = row_weight = None
     if nn_fn is None:
-        nn_fn, nn_state, perm = _default_nn(
+        nn_fn, nn_state, rows, row_weight = _default_nn(
             nn_backend, src_np, target - offset, dtype,
             grid_resolution, cell_capacity, estimator,
         )
-    if perm is not None:
-        src_np = src_np[perm]
+    if rows is not None:
+        src_np = src_np[rows]
     src_local = jnp.asarray(src_np, dtype)
     tgt_local = jnp.asarray(target - offset, dtype)
-
-    out = _icp_core(
-        src_local,
-        tgt_local,
-        nn_state,
-        nn_fn=nn_fn,
-        max_iterations=max_iterations,
-        tolerance=tolerance,
-        sigma_multiplier=sigma_multiplier,
-        widen_first=(mode == "gui"),
-        estimator=estimator,
+    weight_dev = (
+        jnp.asarray(row_weight, dtype) if row_weight is not None else None
     )
+
+    if segment_iterations and segment_iterations > 0:
+        out = _run_segmented(
+            src_local, tgt_local, nn_state, offset, weight=weight_dev,
+            nn_fn=nn_fn, max_iterations=max_iterations,
+            segment_iterations=segment_iterations, tolerance=tolerance,
+            sigma_multiplier=sigma_multiplier,
+            widen_first=(mode == "gui"), estimator=estimator,
+            progress_callback=progress_callback, stop_event=stop_event,
+        )
+    else:
+        out = _icp_core(
+            src_local,
+            tgt_local,
+            nn_state,
+            weight=weight_dev,
+            nn_fn=nn_fn,
+            max_iterations=max_iterations,
+            tolerance=tolerance,
+            sigma_multiplier=sigma_multiplier,
+            widen_first=(mode == "gui"),
+            estimator=estimator,
+        )
     res = package_result(out, offset, return_registered)
-    if perm is not None:
-        res = apply_permutation(res, perm)
+    if rows is not None:
+        res = apply_permutation(res, rows, row_weight, n_orig)
     if T_init is not None:
         res.transform = res.transform @ T_init
         res.history_transform = res.history_transform @ T_init
@@ -537,15 +717,10 @@ def package_result(out, offset, return_registered: bool = True) -> ICPResult:
 
     k = int(out["recorded"])
     stop = int(out["stop"])
-    success = stop != TOO_FEW_VALID
+    success = stop not in (TOO_FEW_VALID, STOPPED)
 
     def rebase(T_local: np.ndarray) -> np.ndarray:
-        """T_world = Shift(offset) @ T_local @ Shift(-offset)."""
-        T = np.asarray(T_local, np.float64).copy()
-        R = T[..., :3, :3]
-        t = T[..., :3, 3]
-        T[..., :3, 3] = t + offset - (R @ offset)
-        return T
+        return _rebase_transform(T_local, offset)
 
     h_T_world = rebase(out["h_T"][:k])
     rot_deg = np.degrees(

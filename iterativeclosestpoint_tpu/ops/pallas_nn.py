@@ -9,21 +9,27 @@ recursive search (core/octree.cpp:128-184) with a memory-shaped design:
     coordinate-transposed (3, M) so a *slab range* (one x-slab of the
     grid, y restricted to the tile's dilated span, all z) is one
     contiguous block of columns;
-  * queries are Morton-sorted once on host (tile coherence survives rigid
-    motion); each kernel program owns one tile of TILE_Q queries held in
-    VMEM, computes nothing per query in HBM;
+  * queries are laid out once on host in the x-group-aligned tile order
+    (``grouped_tile_order``: cell-sorted, padded per x-row so no tile
+    crosses an x boundary — tile coherence survives rigid motion); each
+    kernel program owns one tile of TILE_Q queries held in VMEM, computes
+    nothing per query in HBM;
   * per program: ≤ SLABS async DMA copies bring the tile's candidate
     slabs into a double-buffered VMEM scratch (copy s+1 in flight while
     slab s is processed); the tile × slab distance matrix is evaluated
-    densely on the VPU with row-validity masks; winning coordinates are
-    extracted with a one-hot MXU contraction (no in-kernel gather) so the
-    ICP driver never gathers by index afterwards;
+    densely on the VPU with NO row masks (extra rows in a slab window are
+    real target points — a candidate superset keeps the certificate
+    argument intact); winning coordinates are extracted with a one-hot
+    MXU contraction (no in-kernel gather) so the ICP driver never gathers
+    by index afterwards;
   * coverage per tile = slabs [minx-1 … maxx+1] × y ∈ [miny-1 … maxy+1],
-    full z — a superset of every query's 27-neighborhood, so a best
-    distance ≤ cell_size certifies exactness (same argument as
-    ops/cellblock); incomplete tiles (box or run caps exceeded) and
-    far/outside queries are repaired exactly by budgeted brute-force
-    passes, with a global fallback cond behind them.
+    full z — a superset of every query's 27-neighborhood; a found
+    distance within the query's distance-to-window-edge (grid-boundary
+    edges count as infinite, so outside-bbox queries certify too)
+    certifies exactness. Steady state under coarse-to-fine init measures
+    100% certified at 1M pts; the coarse-level and budgeted brute-force
+    repairs (cond-gated, tile-granular) exist for cold starts and
+    adversarial geometry, with a global fallback cond behind them.
 
 Arithmetic is f32 throughout (coordinates are pre-centered by the f64
 global offset; see models/icp.py).
@@ -92,14 +98,73 @@ def build_pallas_grid(
     )
 
 
+def grouped_tile_order(
+    query: np.ndarray,
+    grid: PallasGrid,
+    resolution: int,
+    tile_q: int = 128,
+):
+    """X-group-aligned query layout: rows + weights for straggler-free tiles.
+
+    The slab-sweep certificate fails structurally for tiles whose query
+    bounding box spans more than ``slabs-2`` x-cells — with plain Morton
+    tiling the tiles that straddle major Morton-quadrant boundaries span
+    half the grid, so ~1-2% of tiles are *permanent* stragglers that pay
+    the repair machinery every single iteration. This layout removes them:
+    sort queries by target-grid cell id (x-major), then pad each x-row
+    group to a multiple of ``tile_q`` by replicating the group's last
+    query, so no tile ever crosses an x boundary (x-span ≤ 1 at build
+    time, ≤ 2-3 after the source drifts during fine iterations — all well
+    inside the slab window).
+
+    Returns (rows, weight): ``rows`` (n_pad,) int32 indexes into ``query``
+    (padding rows replicate real rows), ``weight`` (n_pad,) f32 is 1 for
+    real rows and 0 for padding — the ICP driver folds it into every
+    statistic, so padded rows are invisible to the trajectory.
+    """
+    q = np.asarray(query)
+    R = resolution
+    origin = np.asarray(grid.origin, np.float64)
+    cell = float(np.asarray(grid.cell_size))
+    c = np.clip(((q - origin) / cell).astype(np.int64), 0, R - 1)
+    order = np.argsort(
+        (c[:, 0] * R + c[:, 1]) * R + c[:, 2], kind="stable"
+    )
+    xc = c[order, 0]
+    counts = np.bincount(xc, minlength=R)
+    rows_parts = []
+    w_parts = []
+    pos = 0
+    for x in range(R):
+        n_g = int(counts[x])
+        if n_g == 0:
+            continue
+        g = order[pos : pos + n_g]
+        pos += n_g
+        pad = (-n_g) % tile_q
+        rows_parts.append(g)
+        w_parts.append(np.ones(n_g, np.float32))
+        if pad:
+            rows_parts.append(np.full(pad, g[-1]))
+            w_parts.append(np.zeros(pad, np.float32))
+    rows = np.concatenate(rows_parts).astype(np.int64)
+    weight = np.concatenate(w_parts)
+    return rows, weight
+
+
 def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
     """Kernel factory. Each slab is processed in lane-chunks of ``chunk``
     so the (tile_q × chunk) distance/one-hot working set stays ~2 MB of
-    VMEM even for long coarse-grid ranges."""
+    VMEM even for long coarse-grid ranges.
+
+    (A per-chunk predicated variant — skip DMA+compute for chunks past the
+    slab's end — was measured SLOWER on v5e: 260 ms vs 184 ms at 1M pts,
+    R=64; the branchy control flow and per-chunk argmin/one-hot overhead
+    outweigh the skipped work. Wide unconditional sweeps win.)
+    """
     n_chunks = -(-trange // chunk)
 
-    def kernel(base_ref, start_ref, end_ref, q_ref, tgt_ref,
-               out_ref, cand, sems):
+    def kernel(base_ref, q_ref, tgt_ref, out_ref, cand, sems):
         i = pl.program_id(0)
         big = _BIG  # python literal — not a captured tracer
 
@@ -122,7 +187,6 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
         best_d2 = jnp.full((tile_q,), big, jnp.float32)
         best_xyz = jnp.zeros((tile_q, 6), jnp.float32)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         oh_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_q, chunk), 1)
 
         for s in range(slabs):
@@ -133,16 +197,17 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
 
             for k in range(n_chunks):
                 c = cand[slot, :, k * chunk : (k + 1) * chunk]  # (8, chunk)
-                rows = base_ref[i * slabs + s] + k * chunk + col  # (1, chunk)
-                ok = (rows >= start_ref[i * slabs + s]) & (
-                    rows < end_ref[i * slabs + s]
-                )
+                # No row-validity mask: every row in [b, b+trange) is
+                # either a real target point (possibly outside the
+                # certified window — a SUPERSET of candidates still yields
+                # the exact NN whenever the certificate holds, and can
+                # only lower d² otherwise) or _FAR padding that never
+                # wins. This keeps the inner loop at 9 VPU ops/pair.
                 d2 = (
                     (qx[:, None] - c[0, :][None, :]) ** 2
                     + (qy[:, None] - c[1, :][None, :]) ** 2
                     + (qz[:, None] - c[2, :][None, :]) ** 2
                 )
-                d2 = jnp.where(ok, d2, big)
                 j = jnp.argmin(d2, axis=1)  # (tile_q,)
                 dmin = jnp.min(d2, axis=1)
                 # Winner coordinates (and, rows 3-5, the winner's normal
@@ -200,7 +265,6 @@ def nn_colsweep(
         jnp.float32
     )
     qcell = jnp.floor(qc_f).astype(jnp.int32)
-    inside = jnp.all((qcell >= 0) & (qcell < R), axis=1)
     qcell = jnp.clip(qcell, 0, R - 1)
 
     qc_t = qcell.reshape(t, tile_q, 3)
@@ -235,6 +299,32 @@ def nn_colsweep(
         fit3 &= jnp.take_along_axis(slab_fit, si, axis=1)
     query_complete = (in_box & fit3).reshape(n)
 
+    # Certificate radius = distance from the query POINT to the edge of
+    # its guaranteed-covered window (x: own ±1 cells; y: the tile's
+    # dilated span; z: unbounded) — not the conservative one-cell bound.
+    # A window edge at/beyond the grid boundary certifies to infinity
+    # (no target exists beyond it). Two consequences: ~1.5x radius for
+    # interior queries, and — because the position ``pq`` is the UNCLIPPED
+    # one — queries *outside* the target bbox certify exactly as well
+    # (their cell clips to the boundary, whose outward edge is infinite
+    # and whose inward edge distance is measured from the true position).
+    # Source points just outside the target bbox are ~1% of every real
+    # scan pair and used to fall through to brute-force repair forever.
+    cs = grid.cell_size.astype(jnp.float32)
+    org = grid.origin.astype(jnp.float32)
+    pq = (q32 - org[None, :]).reshape(t, tile_q, 3)
+    inf = jnp.asarray(jnp.inf, jnp.float32)
+    qx_c = qc_t[..., 0]
+    rx_lo = jnp.where(qx_c <= 1, inf, pq[..., 0] - (qx_c - 1) * cs)
+    rx_hi = jnp.where(qx_c >= R - 2, inf, (qx_c + 2) * cs - pq[..., 0])
+    my_lo = minc[:, 1:2]
+    my_hi = maxc[:, 1:2]
+    ry_lo = jnp.where(my_lo <= 1, inf, pq[..., 1] - (my_lo - 1) * cs)
+    ry_hi = jnp.where(my_hi >= R - 2, inf, (my_hi + 2) * cs - pq[..., 1])
+    radius = jnp.minimum(
+        jnp.minimum(rx_lo, rx_hi), jnp.minimum(ry_lo, ry_hi)
+    ).reshape(n)
+
     base = jnp.minimum(start, m_rows - trange).astype(jnp.int32)
     base = (base // 128) * 128
 
@@ -247,13 +337,13 @@ def nn_colsweep(
 
     kernel = _colsweep_kernel(slabs, trange, tile_q)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(t,),
         in_specs=[
             pl.BlockSpec(
                 (1, 8, tile_q), lambda i, *refs: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -278,13 +368,13 @@ def nn_colsweep(
         ),
         # CPU test environments run the TPU kernel in interpreter mode.
         interpret=(jax.default_backend() != "tpu"),
-    )(base.reshape(-1), start.reshape(-1), end.reshape(-1), q_tiles, grid.tgt_t)
+    )(base.reshape(-1), q_tiles, grid.tgt_t)
 
     d2 = out[:, 6, :].reshape(n)
     dist = jnp.sqrt(jnp.maximum(d2, 0.0)).astype(query.dtype)
     matched = out[:, 0:3, :].transpose(0, 2, 1).reshape(n, 3).astype(query.dtype)
     normal = out[:, 3:6, :].transpose(0, 2, 1).reshape(n, 3).astype(query.dtype)
-    certified = inside & query_complete & (dist <= grid.cell_size)
+    certified = query_complete & (dist <= radius)
     return matched[:n_in], normal[:n_in], dist[:n_in], certified[:n_in]
 
 
@@ -309,7 +399,7 @@ def nn_colsweep_exact(
     slabs: int = 6,
     trange: int = 2048,
     coarse_trange: int = 16384,
-    coarse_budget: int = 16384,
+    coarse_budget: int = 65536,
     brute_batch: int = 4096,
     brute_passes: int = 16,
     global_fallback: bool = True,
@@ -333,14 +423,36 @@ def nn_colsweep_exact(
     matches' normals are gathered alongside (the kernel path extracts
     them from the packed grid rows for free).
 
+    Repair bookkeeping runs at **tile granularity** (tile_q queries per
+    tile): compaction is an argsort over ~N/tile_q per-tile "any
+    uncertified" flags — not over N queries — and both repair stages sit
+    behind ``lax.cond`` on the bad-tile count, so a fully-certified pass
+    (the steady state under coarse-to-fine init) costs exactly the fine
+    kernel plus an O(N) mask reduction. Selected tiles are re-searched
+    whole; overwriting an already-certified query with another certified
+    (or brute-force) result is harmless because every certified result is
+    the exact 1-NN.
+
     Returns (matched (N,3), normal (N,3) — zeros when no normals, dist).
     """
+    n_in = query.shape[0]
+    t = -(-n_in // tile_q)
+    n = t * tile_q
+    if n != n_in:
+        query = jnp.concatenate(
+            [query, jnp.broadcast_to(query[-1], (n - n_in, 3))], axis=0
+        )
+
     m3, nrm, dist, certified = nn_colsweep(
         query, grid, resolution=resolution, tile_q=tile_q, slabs=slabs,
         trange=trange,
     )
     matched = jnp.concatenate([m3, nrm], axis=1)  # (N, 6): xyz + normal
-    n = query.shape[0]
+
+    q_t = query.reshape(t, tile_q, 3)
+    m_t = matched.reshape(t, tile_q, 6)
+    d_t = dist.reshape(t, tile_q)
+    c_t = certified.reshape(t, tile_q)
 
     def tgt6(bi):
         bm = target[bi]
@@ -349,72 +461,91 @@ def nn_colsweep_exact(
         return jnp.concatenate([bm, jnp.zeros_like(bm)], axis=1)
 
     if coarse_grid is not None and coarse_resolution:
-        cb = min(coarse_budget, n)  # nn_colsweep pads to tiles internally
-        perm0 = jnp.argsort(certified.astype(jnp.int32), stable=True)
-        n_bad0 = jnp.sum(~certified, dtype=jnp.int32)
-        rows = perm0[:cb]
-        qc = query[rows]
-        m_c, n_c, d_c, cert_c = nn_colsweep(
-            qc, coarse_grid, resolution=coarse_resolution, tile_q=tile_q,
-            slabs=slabs, trange=coarse_trange,
-        )
-        m_c6 = jnp.concatenate([m_c, n_c], axis=1)
-        live = jnp.arange(cb, dtype=jnp.int32) < n_bad0
-        upd = live & cert_c
-        matched = matched.at[rows].set(
-            jnp.where(upd[:, None], m_c6, matched[rows])
-        )
-        dist = dist.at[rows].set(jnp.where(upd, d_c, dist[rows]))
-        certified = certified.at[rows].set(certified[rows] | upd)
+        ct = max(min(coarse_budget // tile_q, t), 1)
+        bad_tile = jnp.any(~c_t, axis=1)
+        n_bad_t = jnp.sum(bad_tile, dtype=jnp.int32)
 
-    bad = ~certified
-    n_bad = jnp.sum(bad, dtype=jnp.int32)
-    B = brute_batch
+        def coarse_repair(carry):
+            m_t, d_t, c_t = carry
+            tsel = jnp.argsort((~bad_tile).astype(jnp.int32), stable=True)[:ct]
+            qc = q_t[tsel].reshape(ct * tile_q, 3)
+            m_c, n_c, d_c, cert_c = nn_colsweep(
+                qc, coarse_grid, resolution=coarse_resolution, tile_q=tile_q,
+                slabs=slabs, trange=coarse_trange,
+            )
+            m_c6 = jnp.concatenate([m_c, n_c], axis=1).reshape(ct, tile_q, 6)
+            d_c = d_c.reshape(ct, tile_q)
+            cert_c = cert_c.reshape(ct, tile_q)
+            live = (jnp.arange(ct, dtype=jnp.int32) < n_bad_t)[:, None]
+            upd = live & cert_c
+            return (
+                m_t.at[tsel].set(jnp.where(upd[..., None], m_c6, m_t[tsel])),
+                d_t.at[tsel].set(jnp.where(upd, d_c, d_t[tsel])),
+                c_t.at[tsel].set(c_t[tsel] | upd),
+            )
+
+        m_t, d_t, c_t = jax.lax.cond(
+            n_bad_t > 0, coarse_repair, lambda c: c, (m_t, d_t, c_t)
+        )
+
+    bad_tile2 = jnp.any(~c_t, axis=1)
+    n_bad_t2 = jnp.sum(bad_tile2, dtype=jnp.int32)
+    bt = max(brute_batch // tile_q, 1)         # tiles per brute pass
+    kmax = min(brute_passes * bt, t)           # total tile budget
 
     def repair(carry):
+        if kmax == 0:  # statically no brute budget — identity
+            return carry
         m0, d0 = carry
-        perm = jnp.argsort(certified.astype(jnp.int32), stable=True)
-        q_perm = query[perm]
-        n_pad = -(-n // B) * B
-        if n_pad != n:
-            q_perm = jnp.pad(q_perm, ((0, n_pad - n), (0, 0)))
-            perm = jnp.pad(perm, (0, n_pad - n))
+        tperm = jnp.argsort((~bad_tile2).astype(jnp.int32), stable=True)
+        tsel = tperm[:kmax]
+        q_sel = q_t[tsel]  # (kmax, tile_q, 3)
 
         def pass_body(p, c):
             mc, dc = c
 
             def do(_):
-                qb = jax.lax.dynamic_slice(q_perm, (p * B, 0), (B, 3))
-                rows = jax.lax.dynamic_slice(perm, (p * B,), (B,))
+                lo = p * bt
+                nb = min(bt, kmax)
+                qb = jax.lax.dynamic_slice(
+                    q_sel, (lo, 0, 0), (nb, tile_q, 3)
+                ).reshape(nb * tile_q, 3)
+                rows = jax.lax.dynamic_slice(tsel, (lo,), (nb,))
                 # Large target tiles: few scan steps per repair pass.
                 bi, bd = nn_bruteforce(
-                    qb, target, query_chunk=B, target_tile=16384
+                    qb, target, query_chunk=nb * tile_q, target_tile=16384
                 )
-                bm = tgt6(bi)
-                live = p * B + jnp.arange(B, dtype=jnp.int32) < n_bad
+                bm = tgt6(bi).reshape(nb, tile_q, 6)
+                bd = bd.reshape(nb, tile_q)
+                live = (lo + jnp.arange(nb, dtype=jnp.int32) < n_bad_t2)[:, None]
                 return (
-                    mc.at[rows].set(jnp.where(live[:, None], bm, mc[rows])),
+                    mc.at[rows].set(jnp.where(live[..., None], bm, mc[rows])),
                     dc.at[rows].set(jnp.where(live, bd, dc[rows])),
                 )
 
-            return jax.lax.cond(n_bad > p * B, do, lambda _: c, None)
+            return jax.lax.cond(n_bad_t2 > p * bt, do, lambda _: c, None)
 
         return jax.lax.fori_loop(0, brute_passes, pass_body, (m0, d0))
 
-    matched, dist = jax.lax.cond(
-        n_bad > 0, repair, lambda c: c, (matched, dist)
+    m_t, d_t = jax.lax.cond(
+        n_bad_t2 > 0, repair, lambda c: c, (m_t, d_t)
     )
 
     if global_fallback:
         def global_brute(_):
             bi, bd = nn_bruteforce(query, target)
-            return tgt6(bi), bd
+            return (
+                tgt6(bi).reshape(t, tile_q, 6),
+                bd.reshape(t, tile_q),
+            )
 
-        matched, dist = jax.lax.cond(
-            n_bad > brute_passes * B, global_brute,
-            lambda _: (matched, dist), None,
+        m_t, d_t = jax.lax.cond(
+            n_bad_t2 > kmax, global_brute, lambda _: (m_t, d_t), None,
         )
-    return matched[:, 0:3], matched[:, 3:6], dist
+
+    matched = m_t.reshape(n, 6)
+    dist = d_t.reshape(n)
+    return matched[:n_in, 0:3], matched[:n_in, 3:6], dist[:n_in]
 
 
 def make_pallas_nn(

@@ -126,14 +126,20 @@ def icp_register_sharded(
     )
 
     src_np = source - offset
-    nn_fn, nn_state, perm = _default_nn(
+    nn_fn, nn_state, rows, row_weight = _default_nn(
         nn_backend, src_np, target - offset, dtype,
         grid_resolution, cell_capacity,
     )
-    if perm is not None:
-        # Morton order also makes each device's shard spatially compact.
-        src_np = src_np[perm]
+    if rows is not None:
+        # Cell-sorted order also makes each device's shard spatially
+        # compact (the dp shards inherit the tile layout).
+        src_np = src_np[rows]
     src_pad, w = pad_to_multiple(src_np.astype(dtype), n_dev)
+    if row_weight is not None:
+        # Grouped-layout padding rows stay zero-weight under the device
+        # padding too.
+        w = w.copy()
+        w[: len(row_weight)] = row_weight
 
     out = _icp_core_sharded(
         jnp.asarray(src_pad),
@@ -147,10 +153,10 @@ def icp_register_sharded(
         widen_first=(mode == "gui"),
         mesh=mesh,
     )
-    # Trim padding rows before packaging.
+    # Trim device-padding rows before packaging.
     out = dict(out)
-    out["src"] = out["src"][: len(source)]
+    out["src"] = out["src"][: (len(rows) if rows is not None else len(source))]
     res = package_result(out, offset, return_registered)
-    if perm is not None:
-        res = apply_permutation(res, perm)
+    if rows is not None:
+        res = apply_permutation(res, rows, row_weight, len(source))
     return res

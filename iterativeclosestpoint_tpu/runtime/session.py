@@ -63,6 +63,7 @@ class RegistrationSession:
         self.result: Optional[ICPResult] = None
         self.history: List[RunRecord] = []
         self._running = False
+        self._stop_event = threading.Event()
 
     # -- loading (C11 DataManager verbs) ---------------------------------
 
@@ -96,15 +97,23 @@ class RegistrationSession:
         multiscale: bool = False,
         checkpoint_path: Optional[str | Path] = None,
         initial_transform=None,
+        live_every: int = 0,
         **overrides,
     ) -> ICPResult:
         """Run registration (blocking). Mirrors startRegistration →
-        ICPEngine::runICP (registrationservice.cpp:186-213)."""
+        ICPEngine::runICP (registrationservice.cpp:186-213).
+
+        ``live_every`` > 0 runs the compiled loop in slices of that many
+        iterations: per-iteration records stream to the metrics log as
+        they happen (the reference's iterationCompleted signal) and
+        ``request_stop()`` takes effect at slice boundaries (the
+        reference's cooperative m_shouldStop, icpengine.cpp:160-164)."""
         if self.source is None or self.target is None:
             raise RuntimeError("load source and target clouds first")
         if self._running:
             raise RuntimeError("a registration is already running")
         self._running = True
+        self._stop_event.clear()
         cfg = (config or self.settings.icp).validate()
         try:
             kwargs = dict(
@@ -117,6 +126,14 @@ class RegistrationSession:
                 initial_transform=initial_transform,
                 **overrides,
             )
+            live = live_every and live_every > 0
+            if live:
+                kwargs.setdefault("segment_iterations", live_every)
+                kwargs.setdefault(
+                    "progress_callback",
+                    lambda rec: self.metrics.iteration(rec, cfg.max_iterations),
+                )
+                kwargs.setdefault("stop_event", self._stop_event)
             self.metrics.log("========== starting ICP registration ==========")
             self.metrics.log(f"source: {len(self.source)} points")
             self.metrics.log(f"target: {len(self.target)} points")
@@ -128,8 +145,9 @@ class RegistrationSession:
                 result = icp_register(self.source, self.target, **kwargs)
             dt = time.perf_counter() - t0
 
-            for rec in result.iteration_records():
-                self.metrics.iteration(rec, cfg.max_iterations)
+            if not live:
+                for rec in result.iteration_records():
+                    self.metrics.iteration(rec, cfg.max_iterations)
             self.metrics.log("========== registration finished ==========")
             self.metrics.log(
                 f"iterations: {result.iterations}  final RMSE: {result.rmse:.6f}"
@@ -170,13 +188,31 @@ class RegistrationSession:
     def run_async(self, **kwargs) -> threading.Thread:
         """Worker-thread launch (QtConcurrent::run analog,
         registrationservice.cpp:211). The compiled computation releases the
-        GIL on device; join() the returned thread or poll is_running()."""
-        th = threading.Thread(target=self.run, kwargs=kwargs, daemon=True)
+        GIL on device; join() the returned thread or poll is_running().
+        A worker exception is recorded in ``self.error`` (the reference
+        surfaces it via the registrationError signal)."""
+        self.error: Optional[BaseException] = None
+
+        def worker():
+            try:
+                self.run(**kwargs)
+            except BaseException as e:  # surfaced to the poller
+                self.error = e
+                self.metrics.log(f"registration failed: {e}")
+
+        th = threading.Thread(target=worker, daemon=True)
         th.start()
         return th
 
     def is_running(self) -> bool:
         return self._running
+
+    def request_stop(self) -> None:
+        """Cooperative stop (stopRegistration analog,
+        registrationservice.cpp:215-220). Takes effect at the next segment
+        boundary of a ``live_every`` run; the partial result is kept with
+        stop reason 'stopped by user'."""
+        self._stop_event.set()
 
     # -- replay (C8/C13) -------------------------------------------------
 

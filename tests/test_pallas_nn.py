@@ -58,6 +58,108 @@ def test_exact_variant_with_outliers():
     np.testing.assert_allclose(np.asarray(m), tgt[i_ref], atol=1e-3)
 
 
+def test_coarse_repair_plus_budgeted_brute_exact():
+    """Queries ~1 fine cell off: half fail fine certification; the
+    4x-coarser level certifies most of those, and a modest tile-budgeted
+    brute stage mops up the rest — full exactness without the global
+    fallback."""
+    from iterativeclosestpoint_tpu.ops.pallas_nn import nn_colsweep_exact
+
+    tgt = make_cloud(20000, seed=85)
+    R = 32  # explicit: auto may floor at 8, collapsing coarse onto fine
+    cell = float((tgt.max(0) - tgt.min(0)).max()) / R
+    rng = np.random.default_rng(3)
+    q = tgt + rng.uniform(-1.2 * cell, 1.2 * cell, tgt.shape)
+    q = q[morton_order(q, R)]
+    qj = jnp.asarray(q, jnp.float32)
+    grid = build_pallas_grid(tgt, R)
+    Rc = R // 4
+    coarse = build_pallas_grid(tgt, Rc, trange=8192)
+    # The fine pass alone must leave stragglers, and the coarse level must
+    # certify some of them — or this test exercises nothing.
+    _, _, _, cert_f = nn_colsweep(qj, grid, resolution=R)
+    _, _, _, cert_c = nn_colsweep(qj, coarse, resolution=Rc, trange=8192)
+    cert_f, cert_c = np.asarray(cert_f), np.asarray(cert_c)
+    assert not cert_f.all()
+    assert (cert_c & ~cert_f).sum() > 100
+    m, _nrm, d = nn_colsweep_exact(
+        qj, jnp.asarray(tgt, jnp.float32), grid, coarse,
+        resolution=R, coarse_resolution=Rc, coarse_trange=8192,
+        coarse_budget=32768, brute_passes=8, global_fallback=False,
+    )
+    d_ref, i_ref = cKDTree(tgt).query(q)
+    np.testing.assert_allclose(np.asarray(d), d_ref, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(m), tgt[i_ref], atol=1e-3)
+
+
+def test_budget_overflow_global_fallback_ragged_n():
+    """More far outliers than the brute budget + ragged (non-tile) N: the
+    global all-pairs fallback still delivers exact 1-NN for every query."""
+    from iterativeclosestpoint_tpu.ops.pallas_nn import nn_colsweep_exact
+
+    tgt = make_cloud(3000, seed=86)
+    rng = np.random.default_rng(4)
+    q = np.vstack(
+        [
+            tgt[: 1111] + rng.normal(0, 0.02, (1111, 3)),
+            rng.uniform(-200, 200, (997, 3)),  # >> budget of 1 pass x 128
+        ]
+    )
+    R = auto_resolution_data(tgt)
+    q = q[morton_order(q, R)]
+    grid = build_pallas_grid(tgt, R)
+    m, _nrm, d = nn_colsweep_exact(
+        jnp.asarray(q, jnp.float32), jnp.asarray(tgt, jnp.float32), grid,
+        resolution=R, brute_batch=128, brute_passes=1, global_fallback=True,
+    )
+    d_ref, i_ref = cKDTree(tgt).query(q)
+    np.testing.assert_allclose(np.asarray(d), d_ref, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(m), tgt[i_ref], atol=1e-3)
+
+
+def test_grouped_tile_order_layout():
+    """X-group-aligned layout: full row coverage, padding marked by zero
+    weight, and (near-)total certification where Morton tiling leaves
+    permanent boundary stragglers."""
+    from iterativeclosestpoint_tpu.ops.pallas_nn import grouped_tile_order
+
+    tgt = make_cloud(30000, seed=90)
+    rng = np.random.default_rng(5)
+    q = tgt + rng.normal(0, 0.01, tgt.shape)
+    R = auto_resolution_data(tgt)
+    grid = build_pallas_grid(tgt, R)
+    rows, w = grouped_tile_order(q, grid, R)
+    assert len(rows) % 128 == 0 and len(rows) == len(w)
+    real = rows[w > 0]
+    np.testing.assert_array_equal(np.sort(real), np.arange(len(q)))
+
+    _, _, _, cert_g = nn_colsweep(
+        jnp.asarray(q[rows], jnp.float32), grid, resolution=R
+    )
+    qm = q[morton_order(q, R)]
+    _, _, _, cert_m = nn_colsweep(
+        jnp.asarray(qm, jnp.float32), grid, resolution=R
+    )
+    rate_g = float(np.asarray(cert_g).mean())
+    rate_m = float(np.asarray(cert_m).mean())
+    assert rate_g >= rate_m
+    assert rate_g > 0.99, (rate_g, rate_m)
+
+
+def test_pallas_registered_cloud_unscrambled():
+    """The padded row layout must be undone exactly: the registered cloud
+    equals the original source pushed through the recovered transform."""
+    from iterativeclosestpoint_tpu.utils.synth import apply_transform_np
+
+    src, tgt, _ = make_registration_pair(n=6000, seed=83, noise_sigma=0.01)
+    res = icp_register(
+        src, tgt, dtype=jnp.float32, nn_backend="pallas", max_iterations=8,
+        tolerance=1e-9, return_registered=True,
+    )
+    expect = apply_transform_np(res.transform, src)
+    np.testing.assert_allclose(res.source_registered, expect, atol=1e-3)
+
+
 def test_icp_with_pallas_backend():
     from iterativeclosestpoint_tpu.ops.se3 import registration_error
     import jax.numpy as jnp2

@@ -1,0 +1,130 @@
+"""Segmented dispatch: live progress + cooperative stop (C4/C6 parity).
+
+The reference emits iterationCompleted per iteration and honors a
+cooperative stop flag checked each iteration (icpengine.cpp:160-164,
+registrationservice.cpp:215-220). The TPU equivalent dispatches the same
+compiled loop in slices, carrying the convergence state machine — the
+trajectory must be identical to a single dispatch.
+"""
+
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+
+from iterativeclosestpoint_tpu.models.icp import (
+    STOPPED,
+    icp_register,
+)
+from iterativeclosestpoint_tpu.utils.synth import make_registration_pair
+
+
+def _pair():
+    return make_registration_pair(n=3000, seed=21, noise_sigma=0.01)
+
+
+def test_segmented_trajectory_identical():
+    src, tgt, _ = _pair()
+    kw = dict(
+        dtype=jnp.float32, nn_backend="bruteforce", max_iterations=12,
+        tolerance=1e-9, return_registered=True,
+    )
+    one = icp_register(src, tgt, **kw)
+    seg = icp_register(src, tgt, segment_iterations=5, **kw)
+
+    assert seg.iterations == one.iterations
+    assert seg.stop_reason == one.stop_reason
+    np.testing.assert_array_equal(seg.history_rmse, one.history_rmse)
+    np.testing.assert_array_equal(seg.history_valid, one.history_valid)
+    np.testing.assert_allclose(
+        seg.history_transform, one.history_transform, rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        seg.source_registered, one.source_registered, rtol=0, atol=0
+    )
+
+
+def test_segmented_convergence_across_boundary():
+    """Convergence needs 3 consecutive small deltas; split segments so the
+    streak straddles a boundary — the carried (prev_error, no_improve)
+    must preserve it."""
+    src, tgt, _ = _pair()
+    kw = dict(
+        dtype=jnp.float32, nn_backend="bruteforce", max_iterations=40,
+        tolerance=1e-5,
+    )
+    one = icp_register(src, tgt, **kw)
+    for seg_n in (1, 2, 7):
+        seg = icp_register(src, tgt, segment_iterations=seg_n, **kw)
+        assert seg.iterations == one.iterations, seg_n
+        assert seg.message == one.message, seg_n
+        np.testing.assert_array_equal(seg.history_rmse, one.history_rmse)
+
+
+def test_progress_callback_streams_records():
+    src, tgt, _ = _pair()
+    seen = []
+    res = icp_register(
+        src, tgt, dtype=jnp.float32, nn_backend="bruteforce",
+        max_iterations=9, tolerance=1e-9, segment_iterations=3,
+        progress_callback=seen.append,
+    )
+    assert len(seen) == res.iterations
+    assert [r["iteration"] for r in seen] == list(range(1, res.iterations + 1))
+    np.testing.assert_allclose(
+        [r["rmse"] for r in seen], res.history_rmse, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        seen[-1]["transform"], res.history_transform[-1], atol=1e-12
+    )
+    # Records carry the full iterationCompleted payload.
+    for key in ("valid_points", "outlier_points", "rotation_angle_deg",
+                "translation_norm", "mean_dist", "std_dist", "threshold"):
+        assert key in seen[0]
+
+
+def test_cooperative_stop_between_segments():
+    src, tgt, _ = _pair()
+    ev = threading.Event()
+
+    def stop_after_first(rec):
+        if rec["iteration"] >= 2:
+            ev.set()
+
+    res = icp_register(
+        src, tgt, dtype=jnp.float32, nn_backend="bruteforce",
+        max_iterations=30, tolerance=1e-12, segment_iterations=2,
+        progress_callback=stop_after_first, stop_event=ev,
+    )
+    assert res.stop_reason == STOPPED
+    assert res.message == "stopped by user"
+    assert not res.success
+    assert res.iterations == 2  # stopped at the first segment boundary
+
+
+def test_session_request_stop_async():
+    from iterativeclosestpoint_tpu.runtime.session import RegistrationSession
+    from iterativeclosestpoint_tpu.utils.config import ICPConfig
+
+    src, tgt, _ = _pair()
+    sess = RegistrationSession()
+    sess.set_clouds(src, tgt)
+    started = threading.Event()
+    orig_cb = sess.metrics.iteration
+
+    def notice(rec, total):
+        started.set()
+        return orig_cb(rec, total)
+
+    sess.metrics.iteration = notice
+    cfg = ICPConfig(max_iterations=200, tolerance=1e-10,
+                    nn_backend="bruteforce")
+    th = sess.run_async(config=cfg, live_every=1)
+    assert started.wait(timeout=120)
+    sess.request_stop()
+    th.join(timeout=120)
+    assert not th.is_alive()
+    assert sess.error is None
+    assert sess.result is not None
+    assert sess.result.message == "stopped by user"
+    assert sess.result.iterations < 200
