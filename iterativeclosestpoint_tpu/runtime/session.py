@@ -129,10 +129,23 @@ class RegistrationSession:
             live = live_every and live_every > 0
             if live:
                 kwargs.setdefault("segment_iterations", live_every)
-                kwargs.setdefault(
-                    "progress_callback",
-                    lambda rec: self.metrics.iteration(rec, cfg.max_iterations),
-                )
+                rmse_trail = []
+
+                def on_iteration(rec):
+                    self.metrics.iteration(rec, cfg.max_iterations)
+                    rmse_trail.append(rec["rmse"])
+                    if checkpoint_path:
+                        # Rolling mid-run checkpoint (the reference's
+                        # per-iteration transform history made resumable).
+                        save_checkpoint(
+                            checkpoint_path,
+                            iteration=rec["iteration"],
+                            transform=rec["transform"],
+                            rmse_history=rmse_trail,
+                            config=dataclasses.asdict(cfg),
+                        )
+
+                kwargs.setdefault("progress_callback", on_iteration)
                 kwargs.setdefault("stop_event", self._stop_event)
             self.metrics.log("========== starting ICP registration ==========")
             self.metrics.log(f"source: {len(self.source)} points")

@@ -102,6 +102,56 @@ def test_cooperative_stop_between_segments():
     assert res.iterations == 2  # stopped at the first segment boundary
 
 
+def test_midrun_checkpoint_then_resume(tmp_path):
+    """A stopped live run leaves a rolling checkpoint that resumes to the
+    same place a straight-through run reaches (within drift of the extra
+    rebase round-trip)."""
+    from iterativeclosestpoint_tpu.runtime.checkpoint import (
+        load_checkpoint,
+        resume_arguments,
+    )
+    from iterativeclosestpoint_tpu.runtime.session import RegistrationSession
+    from iterativeclosestpoint_tpu.utils.config import ICPConfig
+
+    src, tgt, _ = _pair()
+    cfg = ICPConfig(max_iterations=10, tolerance=1e-10,
+                    nn_backend="bruteforce")
+    sess = RegistrationSession()
+    sess.set_clouds(src, tgt)
+    ev = sess._stop_event
+
+    real_iter = sess.metrics.iteration
+
+    def stop_at_4(rec, total):
+        real_iter(rec, total)
+        if rec["iteration"] >= 4:
+            ev.set()
+
+    sess.metrics.iteration = stop_at_4
+    res1 = sess.run(config=cfg, live_every=2,
+                    checkpoint_path=tmp_path / "mid.json")
+    assert res1.message == "stopped by user"
+    ck = load_checkpoint(tmp_path / "mid.json")
+    assert ck["iteration"] == res1.iterations
+    assert len(ck["rmse_history"]) == res1.iterations
+    np.testing.assert_allclose(
+        ck["transform"], res1.history_transform[-1], atol=1e-12
+    )
+
+    patch = resume_arguments(ck, cfg.max_iterations)
+    res2 = icp_register(
+        src, tgt, dtype=jnp.float32, nn_backend="bruteforce",
+        tolerance=1e-10, **patch,
+    )
+    full = icp_register(
+        src, tgt, dtype=jnp.float32, nn_backend="bruteforce",
+        max_iterations=10, tolerance=1e-10,
+    )
+    # Resumed trajectory lands near the straight-through one.
+    d = np.abs(res2.transform - full.transform)
+    assert d.max() < 1e-3, d.max()
+
+
 def test_session_request_stop_async():
     from iterativeclosestpoint_tpu.runtime.session import RegistrationSession
     from iterativeclosestpoint_tpu.utils.config import ICPConfig
