@@ -77,13 +77,16 @@ def cmd_run(args) -> int:
         cfg.max_iterations = patch["max_iterations"]
         _print(f"resuming from iteration {ckpt['iteration']}")
 
-    res = sess.run(
-        config=cfg,
-        multiscale=args.multiscale,
-        checkpoint_path=args.checkpoint,
-        initial_transform=initial,
-        live_every=args.live_every,
-    )
+    from iterativeclosestpoint_tpu.runtime.profiling import trace
+
+    with trace(args.profile):
+        res = sess.run(
+            config=cfg,
+            multiscale=args.multiscale,
+            checkpoint_path=args.checkpoint,
+            initial_transform=initial,
+            live_every=args.live_every,
+        )
 
     if args.output:
         sess.save_result(args.output, rebase=args.rebase)
@@ -297,6 +300,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--rebase", action="store_true",
                    help="GUI-style writer: re-base offsets to cloud min")
     r.add_argument("--settings", help="settings JSON path")
+    r.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace to DIR (xprof/"
+                        "TensorBoard)")
     r.set_defaults(fn=cmd_run)
 
     s = sub.add_parser("synth", help="generate a test pair with known SE(3)")
