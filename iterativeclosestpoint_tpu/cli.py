@@ -246,7 +246,15 @@ def cmd_settings(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench
+    try:
+        import bench
+    except ImportError:  # installed package, invoked outside the repo
+        import importlib.util
+
+        path = Path(__file__).resolve().parent.parent / "bench.py"
+        spec = importlib.util.spec_from_file_location("bench", path)
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
 
     bench.main()
     return 0
