@@ -160,6 +160,43 @@ def test_pallas_registered_cloud_unscrambled():
     np.testing.assert_allclose(res.source_registered, expect, atol=1e-3)
 
 
+@pytest.mark.parametrize("case", ["tiny_n", "collinear_x", "one_cell",
+                                  "dup_points"])
+def test_degenerate_geometry_exact(case):
+    """Degenerate clouds (tiny N, collinear, single-cell, duplicates)
+    stay exact through grid build + grouped layout + exact path."""
+    from iterativeclosestpoint_tpu.ops.pallas_nn import (
+        grouped_tile_order,
+        nn_colsweep_exact,
+    )
+
+    rng = np.random.default_rng
+    if case == "tiny_n":
+        q, tgt = rng(0).normal(size=(50, 3)), rng(1).normal(size=(70, 3))
+    elif case == "collinear_x":
+        q = np.c_[np.linspace(0, 100, 3000), np.zeros(3000), np.zeros(3000)]
+        tgt = np.c_[np.linspace(0, 100, 2500), np.zeros(2500), np.zeros(2500)]
+    elif case == "one_cell":
+        q = np.full((300, 3), 5.0) + rng(2).normal(0, 1e-6, (300, 3))
+        tgt = np.full((400, 3), 5.0) + rng(3).normal(0, 1e-6, (400, 3))
+    else:
+        q = np.repeat(rng(4).normal(size=(10, 3)), 30, axis=0)
+        tgt = np.repeat(rng(5).normal(size=(12, 3)), 25, axis=0)
+
+    R = auto_resolution_data(tgt)
+    grid = build_pallas_grid(tgt, R)
+    rows, w = grouped_tile_order(q, grid, R)
+    real = rows[w > 0]
+    np.testing.assert_array_equal(np.sort(real), np.arange(len(q)))
+    m, _, d = nn_colsweep_exact(
+        jnp.asarray(q[rows], jnp.float32), jnp.asarray(tgt, jnp.float32),
+        grid, resolution=R,
+    )
+    d_ref, i_ref = cKDTree(tgt).query(q[rows])
+    np.testing.assert_allclose(np.asarray(d), d_ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m), tgt[i_ref], atol=1e-4)
+
+
 def test_icp_with_pallas_backend():
     from iterativeclosestpoint_tpu.ops.se3 import registration_error
     import jax.numpy as jnp2
