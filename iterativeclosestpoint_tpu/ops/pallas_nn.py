@@ -176,6 +176,7 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
     R=64; the branchy control flow and per-chunk argmin/one-hot overhead
     outweigh the skipped work. Wide unconditional sweeps win.)
     """
+    chunk = min(chunk, trange)
     n_chunks = -(-trange // chunk)
 
     def kernel(base_ref, q_ref, tgt_ref, out_ref, cand, sems):
