@@ -19,6 +19,23 @@ LiDAR scans) as an idiomatic JAX/XLA/Pallas framework:
 Reference layer map: SURVEY.md §1; component inventory: SURVEY.md §2.
 """
 
+import os as _os
+
+# Some virtualized hosts fault transparent huge pages at ~8 MB/s (each 2 MB
+# THP fault stalls ~250 ms in the hypervisor), which turns numpy's default
+# MADV_HUGEPAGE on large buffers into a 200x slowdown on every cold
+# allocation (measured: 19 s vs 0.04 s to first-touch an 80 MB array).
+# Host-side prep (grid builds, LAS decode) is allocation-heavy, so force
+# normal 4 KB faulting. Env var covers a not-yet-imported numpy; the private
+# runtime toggle covers the already-imported case.
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+try:
+    from numpy._core.multiarray import _set_madvise_hugepage
+
+    _set_madvise_hugepage(False)
+except Exception:  # pragma: no cover - numpy<2 or internal rename
+    pass
+
 from iterativeclosestpoint_tpu.utils.config import AppSettings, ICPConfig
 from iterativeclosestpoint_tpu.models.icp import ICPResult, icp_register
 from iterativeclosestpoint_tpu.models.multiscale import icp_register_multiscale
