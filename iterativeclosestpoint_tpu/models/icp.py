@@ -402,6 +402,9 @@ def _default_nn(
     grid_resolution,
     cell_capacity,
     estimator: str = "point",
+    source_dev=None,
+    target_dev=None,
+    device_layout: bool = False,
 ):
     """Pick the NN kernel; returns (nn_fn, nn_state, rows | None,
     weight | None).
@@ -463,9 +466,25 @@ def _default_nn(
     if nn_backend == "pallas":
         from iterativeclosestpoint_tpu.ops.pallas_nn import (
             grouped_tile_order,
+            grouped_tile_order_device,
             make_pallas_nn,
+            make_pallas_nn_device,
         )
 
+        if device_layout and estimator != "plane":
+            # Grids + query layout built on-accelerator (the normals
+            # path still estimates per-cell PCA on host).
+            nn_fn, grid, resolution = make_pallas_nn_device(
+                target_local, resolution=grid_resolution,
+                target_dev=target_dev,
+            )
+            if source_dev is None:
+                source_dev = jnp.asarray(source_local, dtype)
+            rows, weight = grouped_tile_order_device(
+                source_dev, grid[0].origin, grid[0].cell_size,
+                resolution=resolution,
+            )
+            return nn_fn, grid, rows, weight
         nn_fn, grid, resolution = make_pallas_nn(
             target_local, resolution=grid_resolution, dtype=dtype,
             with_normals=(estimator == "plane"),
@@ -664,17 +683,24 @@ def icp_register(
     if estimator not in ("point", "plane"):
         raise ValueError(f"unknown estimator {estimator!r}")
     src_np = source - offset
+    tgt_np = target - offset
     n_orig = len(src_np)
     rows = row_weight = None
+    src_local = jnp.asarray(src_np, dtype)
+    tgt_local = jnp.asarray(tgt_np, dtype)
     if nn_fn is None:
         nn_fn, nn_state, rows, row_weight = _default_nn(
-            nn_backend, src_np, target - offset, dtype,
+            nn_backend, src_np, tgt_np, dtype,
             grid_resolution, cell_capacity, estimator,
+            source_dev=src_local, target_dev=tgt_local,
+            device_layout=True,
         )
     if rows is not None:
-        src_np = src_np[rows]
-    src_local = jnp.asarray(src_np, dtype)
-    tgt_local = jnp.asarray(target - offset, dtype)
+        if isinstance(rows, jnp.ndarray):
+            src_local = src_local[rows]  # device gather, device layout
+        else:
+            src_np = src_np[rows]
+            src_local = jnp.asarray(src_np, dtype)
     weight_dev = (
         jnp.asarray(row_weight, dtype) if row_weight is not None else None
     )
@@ -702,8 +728,12 @@ def icp_register(
             estimator=estimator,
         )
     res = package_result(out, offset, return_registered)
-    if rows is not None:
-        res = apply_permutation(res, rows, row_weight, n_orig)
+    if rows is not None and res.source_registered is not None:
+        res = apply_permutation(
+            res, np.asarray(rows),
+            np.asarray(row_weight) if row_weight is not None else None,
+            n_orig,
+        )
     if T_init is not None:
         res.transform = res.transform @ T_init
         res.history_transform = res.history_transform @ T_init
@@ -713,6 +743,11 @@ def icp_register(
 def package_result(out, offset, return_registered: bool = True) -> ICPResult:
     """Convert the device-side output dict of an ICP core into a
     world-frame ICPResult (shared by the single-device and sharded paths)."""
+    if not return_registered:
+        # Don't pull the (N,3) registered cloud through the device->host
+        # tunnel when the caller only wants the transform/history (the
+        # multiscale coarse levels and the bench do this every call).
+        out = {k: v for k, v in out.items() if k != "src"}
     out = jax.tree.map(np.asarray, out)
 
     k = int(out["recorded"])

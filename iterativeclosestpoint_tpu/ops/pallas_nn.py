@@ -166,6 +166,133 @@ def _ranges(lengths: np.ndarray) -> np.ndarray:
     return ix - np.repeat(ends - lengths, lengths)
 
 
+# ---------------------------------------------------------------------------
+# Device-side factory. The host builds above exist for CPU-testable
+# reference behavior and the normals (point-to-plane) path; the driver's
+# default pallas route builds everything on-accelerator instead, because
+# on this class of host the numpy sorts plus the ~50 MB of grid uploads
+# cost ~1.8 s per registration while the same work on-device is tens of
+# milliseconds riding the single 12 MB target upload the ICP loop needs
+# anyway.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "trange"))
+def _build_grid_dev(target, origin, cell_size, *, resolution: int, trange: int):
+    """On-device equivalent of ``build_pallas_grid`` (no normals rows).
+
+    Same CSR layout and _FAR padding; jnp.argsort is stable like the
+    host's kind="stable", so tie order within a cell matches bit-for-bit.
+    """
+    R = resolution
+    tgt = target.astype(jnp.float32)
+    org = origin.astype(jnp.float32)
+    cs = cell_size.astype(jnp.float32)
+    coords = jnp.clip(((tgt - org[None, :]) / cs).astype(jnp.int32), 0, R - 1)
+    cid = (coords[:, 0] * R + coords[:, 1]) * R + coords[:, 2]
+    order = jnp.argsort(cid)
+    cell_start = jnp.searchsorted(
+        cid[order], jnp.arange(R ** 3 + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+
+    m = tgt.shape[0]
+    top = jnp.concatenate(
+        [tgt[order].T, jnp.full((3, trange), _FAR, jnp.float32)], axis=1
+    )
+    tt = jnp.concatenate(
+        [top, jnp.full((5, m + trange), _FAR, jnp.float32)], axis=0
+    )
+    return PallasGrid(tgt_t=tt, cell_start=cell_start, origin=org, cell_size=cs)
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "tile_q"))
+def grouped_tile_order_device(
+    query, origin, cell_size, *, resolution: int, tile_q: int = 128
+):
+    """On-device ``grouped_tile_order`` with a static output length.
+
+    The host version's output length is data-dependent (sum of per-group
+    pads); under jit the layout is instead built at the worst-case static
+    length ``n`` + R·(tile_q−1) rounded up to a tile multiple, as a pure
+    gather (no scatters): output row j belongs to x-group g =
+    searchsorted(out_end, j); its in-group offset r indexes the group's
+    real run when r < count, else replicates the group's last real row.
+    Rows past the last group's pad replicate one real query with weight 0
+    (a singleton-bbox tile — certifies trivially, costs one slab).
+    """
+    n = query.shape[0]
+    R = resolution
+    total = -(-(n + R * (tile_q - 1)) // tile_q) * tile_q
+    q = query.astype(jnp.float32)
+    org = origin.astype(jnp.float32)
+    cs = cell_size.astype(jnp.float32)
+    c = jnp.clip(((q - org[None, :]) / cs).astype(jnp.int32), 0, R - 1)
+    cid = (c[:, 0] * R + c[:, 1]) * R + c[:, 2]
+    order = jnp.argsort(cid)
+    xc = c[:, 0][order]  # sorted (cid is x-major)
+    bounds = jnp.searchsorted(xc, jnp.arange(R + 1, dtype=jnp.int32))
+    counts = bounds[1:] - bounds[:-1]
+    in_base = bounds[:-1]
+    n_pad_g = ((counts + tile_q - 1) // tile_q) * tile_q
+    out_end = jnp.cumsum(n_pad_g)
+    out_base = out_end - n_pad_g
+
+    j = jnp.arange(total, dtype=jnp.int32)
+    g = jnp.searchsorted(out_end, j, side="right")
+    g_cl = jnp.clip(g, 0, R - 1)
+    r = j - out_base[g_cl]
+    cnt = counts[g_cl]
+    real = (g < R) & (r < cnt)
+    idx = in_base[g_cl] + jnp.minimum(r, jnp.maximum(cnt - 1, 0))
+    rows = order[jnp.clip(idx, 0, n - 1)].astype(jnp.int32)
+    weight = real.astype(jnp.float32)
+    return rows, weight
+
+
+def make_pallas_nn_device(
+    target_local: np.ndarray,
+    resolution: int | None = None,
+    trange: int = 2048,
+    target_dev=None,
+):
+    """Device-built twin of ``make_pallas_nn`` (point estimator only).
+
+    Host work is a single bbox sweep (origin/cell must be static-free
+    scalars for the grid geometry); both grid levels are sorted, gathered
+    and padded on-accelerator from ``target_dev`` (reusing the upload the
+    ICP driver performs anyway)."""
+    target_local = np.asarray(target_local)
+    if resolution is None:
+        resolution = auto_resolution_data(target_local)
+    tmin = target_local.min(axis=0)
+    tmax = target_local.max(axis=0)
+    if target_dev is None:
+        target_dev = jnp.asarray(target_local, jnp.float32)
+
+    def mk(R, tr):
+        cell = max(float((tmax - tmin).max()) / R, 1e-9)
+        return _build_grid_dev(
+            target_dev,
+            jnp.asarray(tmin, jnp.float32),
+            jnp.asarray(cell, jnp.float32),
+            resolution=R,
+            trange=tr,
+        )
+
+    grid = mk(resolution, trange)
+    coarse_resolution = max(resolution // 4, 8)
+    coarse_trange = 16384
+    coarse = mk(coarse_resolution, coarse_trange)
+    global_fallback = len(target_local) <= 300_000
+    state = (grid, coarse, jnp.zeros((0,)))
+    return (
+        _pallas_fn(resolution, coarse_resolution, trange, coarse_trange,
+                   global_fallback, False),
+        state,
+        resolution,
+    )
+
+
 def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
     """Kernel factory. Each slab is processed in lane-chunks of ``chunk``
     so the (tile_q × chunk) distance/one-hot working set stays ~2 MB of

@@ -242,3 +242,89 @@ def test_normals_packed_and_extracted():
     np.testing.assert_allclose(
         np.asarray(nrm)[cert], nrm_ref[i_ref][cert], atol=1e-3
     )
+
+
+def test_device_grid_build_matches_host():
+    """_build_grid_dev reproduces build_pallas_grid bit-for-bit (both
+    sorts are stable; same CSR layout, same _FAR padding)."""
+    from iterativeclosestpoint_tpu.ops.pallas_nn import _build_grid_dev
+
+    tgt = make_cloud(9000, seed=91)
+    R = auto_resolution_data(tgt)
+    host = build_pallas_grid(tgt, R)
+    tmin, tmax = tgt.min(axis=0), tgt.max(axis=0)
+    cell = max(float((tmax - tmin).max()) / R, 1e-9)
+    dev = _build_grid_dev(
+        jnp.asarray(tgt, jnp.float32),
+        jnp.asarray(tmin, jnp.float32),
+        jnp.asarray(cell, jnp.float32),
+        resolution=R,
+        trange=2048,
+    )
+    np.testing.assert_array_equal(np.asarray(dev.cell_start),
+                                  np.asarray(host.cell_start))
+    np.testing.assert_array_equal(np.asarray(dev.tgt_t), np.asarray(host.tgt_t))
+
+
+def test_grouped_tile_order_device_semantics():
+    """Device layout: every real query appears exactly once with weight 1,
+    padding replicates in-group rows, and no 128-row tile spans more than
+    one x-cell of the target grid (the certificate invariant)."""
+    from iterativeclosestpoint_tpu.ops.pallas_nn import (
+        grouped_tile_order_device,
+    )
+
+    tgt = make_cloud(12000, seed=92)
+    rng = np.random.default_rng(5)
+    q = tgt + rng.normal(0, 0.05, tgt.shape)
+    R = auto_resolution_data(tgt)
+    grid = build_pallas_grid(tgt, R)
+    rows, w = grouped_tile_order_device(
+        jnp.asarray(q, jnp.float32), grid.origin, grid.cell_size,
+        resolution=R,
+    )
+    rows, w = np.asarray(rows), np.asarray(w)
+    assert len(rows) % 128 == 0
+    real = w > 0
+    # Bijection on real rows.
+    assert sorted(rows[real]) == list(range(len(q)))
+    # Padding rows replicate real queries (valid indices).
+    assert rows.min() >= 0 and rows.max() < len(q)
+    # Tile x-coherence: all rows of a tile sit in one x-cell.
+    origin = np.asarray(grid.origin, np.float64)
+    cellsz = float(np.asarray(grid.cell_size))
+    xcell = np.clip(((q[rows][:, 0] - origin[0]) / cellsz).astype(int), 0, R - 1)
+    per_tile = xcell.reshape(-1, 128)
+    assert (per_tile.max(axis=1) == per_tile.min(axis=1)).all()
+
+
+def test_icp_device_layout_matches_host_layout(monkeypatch):
+    """icp_register via the device-built pallas path matches the
+    host-built path's trajectory (identical semantics, different
+    construction site)."""
+    import iterativeclosestpoint_tpu.models.icp as icp_mod
+
+    src, tgt, _ = make_registration_pair(n=6000, seed=93, noise_sigma=0.01)
+    kwargs = dict(
+        nn_backend="pallas", max_iterations=8, tolerance=0.0,
+        dtype=jnp.float32,
+    )
+    res_dev = icp_register(src, tgt, return_registered=True, **kwargs)
+
+    orig = icp_mod._default_nn
+
+    def host_nn(*a, **k):
+        k["device_layout"] = False
+        return orig(*a, **k)
+
+    monkeypatch.setattr(icp_mod, "_default_nn", host_nn)
+    res_host = icp_register(src, tgt, return_registered=False, **kwargs)
+
+    np.testing.assert_allclose(
+        res_dev.history_rmse, res_host.history_rmse, rtol=0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        res_dev.transform, res_host.transform, rtol=0, atol=1e-5
+    )
+    # Registered cloud un-permutes back to the original row order.
+    assert res_dev.source_registered.shape == src.shape
