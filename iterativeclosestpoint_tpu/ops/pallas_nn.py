@@ -252,7 +252,8 @@ def grouped_tile_order_device(
 def make_pallas_nn_device(
     target_local: np.ndarray,
     resolution: int | None = None,
-    trange: int = 2048,
+    trange: int = 1536,
+    slabs: int = 4,
     target_dev=None,
 ):
     """Device-built twin of ``make_pallas_nn`` (point estimator only).
@@ -287,7 +288,7 @@ def make_pallas_nn_device(
     state = (grid, coarse, jnp.zeros((0,)))
     return (
         _pallas_fn(resolution, coarse_resolution, trange, coarse_trange,
-                   global_fallback, False),
+                   global_fallback, False, slabs=slabs),
         state,
         resolution,
     )
@@ -744,7 +745,7 @@ def make_pallas_nn(
 @functools.lru_cache(maxsize=None)
 def _pallas_fn(resolution: int, coarse_resolution: int, trange: int,
                coarse_trange: int, global_fallback: bool,
-               with_normals: bool = False):
+               with_normals: bool = False, slabs: int = 6):
     def fn(query, target, nn_state):
         grid, coarse, normals = nn_state
         m, nrm, d = nn_colsweep_exact(
@@ -752,7 +753,7 @@ def _pallas_fn(resolution: int, coarse_resolution: int, trange: int,
             normals if with_normals else None,
             resolution=resolution, coarse_resolution=coarse_resolution,
             trange=trange, coarse_trange=coarse_trange,
-            global_fallback=global_fallback,
+            global_fallback=global_fallback, slabs=slabs,
         )
         if with_normals:
             return m, d, nrm
