@@ -630,6 +630,24 @@ def apply_permutation(
     return res
 
 
+@functools.partial(jax.jit, static_argnames=("resolution",))
+def _prep_fine_source(src_raw, T_loc, origin, cell_size, *, resolution):
+    """One-dispatch fine-level source prep: apply the (local-frame) initial
+    transform on device, build the x-group-aligned query layout, gather.
+
+    Fusing these (vs three separate dispatches) matters on hosts where
+    every dispatch round-trips a device tunnel (~30 ms each)."""
+    from iterativeclosestpoint_tpu.ops.pallas_nn import (
+        grouped_tile_order_device,
+    )
+
+    src = apply_transform(T_loc, src_raw)
+    rows, weight = grouped_tile_order_device(
+        src, origin, cell_size, resolution=resolution
+    )
+    return src[rows], rows, weight
+
+
 def icp_register(
     source,
     target,
@@ -651,6 +669,8 @@ def icp_register(
     segment_iterations: int = 0,
     progress_callback: Optional[Callable] = None,
     stop_event=None,
+    device_data=None,
+    prepared_nn=None,
 ) -> ICPResult:
     """Register ``source`` onto ``target``; returns world-frame results.
 
@@ -667,35 +687,75 @@ def icp_register(
     iterationCompleted signal) and ``stop_event`` (a threading.Event;
     cooperative stop with segment granularity — registrationservice
     stopRegistration equivalent).
+
+    ``device_data`` = (src_dev, tgt_dev, offset): pre-centered f32 device
+    arrays (centered by ``offset``) whose uploads the caller started
+    earlier — the multiscale pipeline overlaps them with its coarse pass.
+    ``initial_transform`` is then applied on device (local frame) instead
+    of on host, so the aligned source never re-rides the host↔device link.
+    ``prepared_nn`` = (nn_fn, nn_state, resolution) from
+    ops.pallas_nn.make_pallas_nn_device, built against ``tgt_dev``.
     """
     source = np.asarray(source, np.float64)
     target = np.asarray(target, np.float64)
     T_init = None
     if initial_transform is not None:
         T_init = np.asarray(initial_transform, np.float64)
-        source = source @ T_init[:3, :3].T + T_init[:3, 3]
+        if device_data is None:
+            source = source @ T_init[:3, :3].T + T_init[:3, 3]
 
-    offset = (
-        (target.min(axis=0) + target.max(axis=0)) / 2.0
-        if center
-        else np.zeros(3)
-    )
+    if device_data is not None:
+        offset = np.asarray(device_data[2], np.float64)
+    else:
+        offset = (
+            (target.min(axis=0) + target.max(axis=0)) / 2.0
+            if center
+            else np.zeros(3)
+        )
     if estimator not in ("point", "plane"):
         raise ValueError(f"unknown estimator {estimator!r}")
-    src_np = source - offset
-    tgt_np = target - offset
-    n_orig = len(src_np)
+    n_orig = len(source)
     rows = row_weight = None
-    src_local = jnp.asarray(src_np, dtype)
-    tgt_local = jnp.asarray(tgt_np, dtype)
-    if nn_fn is None:
+    src_np = tgt_np = None  # host copies, computed lazily when needed
+    if device_data is not None:
+        src_local, tgt_local = device_data[0], device_data[1]
+        src_local = src_local.astype(dtype)
+        tgt_local = tgt_local.astype(dtype)
+        if T_init is not None and prepared_nn is None:
+            T_loc = _rebase_transform(T_init, -offset)
+            src_local = jax.jit(apply_transform)(
+                jnp.asarray(T_loc, dtype), src_local
+            )
+    else:
+        src_np = source - offset
+        tgt_np = target - offset
+        src_local = jnp.asarray(src_np, dtype)
+        tgt_local = jnp.asarray(tgt_np, dtype)
+    layout_applied = False
+    if nn_fn is None and prepared_nn is not None:
+        nn_fn, nn_state, resolution = prepared_nn
+        grid0 = nn_state[0]
+        T_loc = (
+            _rebase_transform(T_init, -offset)
+            if (T_init is not None and device_data is not None)
+            else np.eye(4)
+        )
+        src_local, rows, row_weight = _prep_fine_source(
+            src_local, jnp.asarray(T_loc, dtype), grid0.origin,
+            grid0.cell_size, resolution=resolution,
+        )
+        layout_applied = True  # _prep_fine_source already gathered
+    elif nn_fn is None:
+        if src_np is None:
+            src_np = source - offset
+            tgt_np = target - offset
         nn_fn, nn_state, rows, row_weight = _default_nn(
             nn_backend, src_np, tgt_np, dtype,
             grid_resolution, cell_capacity, estimator,
             source_dev=src_local, target_dev=tgt_local,
             device_layout=True,
         )
-    if rows is not None:
+    if rows is not None and not layout_applied:
         if isinstance(rows, jnp.ndarray):
             src_local = src_local[rows]  # device gather, device layout
         else:

@@ -74,12 +74,57 @@ def icp_register_multiscale(
     target = np.asarray(target, np.float64)
     n = len(source)
     coarse_nn_backend = fine_kwargs.pop("coarse_nn_backend", "auto")
+    overlap_prep = fine_kwargs.pop("overlap_device_prep", True)
 
     if strides is None:
         s = max(1, -(-n // coarse_max_points))
         strides = (s, 1) if s > 1 else (1,)
     if strides[-1] != 1:
         strides = tuple(strides) + (1,)
+
+    # Overlapped fine-level prep: the fine pass needs the full-resolution
+    # clouds on device and a grid NN factory built over the target — none
+    # of which depends on the coarse result. Start the uploads and the
+    # (async-dispatched) device grid builds NOW so they ride the
+    # host<->device link while the coarse pass computes; the fine call
+    # then applies the coarse transform on device instead of re-uploading
+    # a transformed copy (reference contrast: octree rebuilt from scratch
+    # per run, icp_registration.cpp:857ff).
+    device_data = prepared_nn = None
+    fine_backend = fine_kwargs.get("nn_backend", "auto")
+    if (
+        overlap_prep
+        and mesh is None
+        and len(strides) > 1
+        and dtype == jnp.float32
+        and fine_kwargs.get("estimator", "point") == "point"
+        and fine_kwargs.get("nn_fn") is None
+        and (
+            fine_backend == "pallas"
+            or (fine_backend == "auto" and n * len(target) > 2 ** 31)
+        )
+    ):
+        import jax
+
+        from iterativeclosestpoint_tpu.ops.pallas_nn import (
+            make_pallas_nn_device,
+        )
+
+        offset = (
+            (target.min(axis=0) + target.max(axis=0)) / 2.0
+            if fine_kwargs.get("center", True)
+            else np.zeros(3)
+        )
+        src_dev = jax.device_put((source - offset).astype(np.float32))
+        tgt_local = (target - offset).astype(np.float32)
+        tgt_dev = jax.device_put(tgt_local)
+        prepared_nn = make_pallas_nn_device(
+            tgt_local,
+            resolution=fine_kwargs.get("grid_resolution"),
+            target_dev=tgt_dev,
+        )
+        fine_kwargs.setdefault("nn_backend", "pallas")
+        device_data = (src_dev, tgt_dev, offset)
 
     T = (
         np.asarray(initial_transform, np.float64)
@@ -108,6 +153,7 @@ def icp_register_multiscale(
             else:
                 res = icp_register(
                     source, target, dtype=dtype, initial_transform=T,
+                    device_data=device_data, prepared_nn=prepared_nn,
                     **fine_kwargs,
                 )
         else:

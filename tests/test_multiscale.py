@@ -66,6 +66,36 @@ def test_explicit_stride_pyramid():
     assert err < 5e-3
 
 
+def test_overlapped_device_prep_parity():
+    """The overlapped-prep fine path (device_data + prepared_nn: uploads
+    started before the coarse pass, coarse transform applied on device,
+    grid + query layout built in one fused dispatch) must agree with the
+    plain host-prep pallas path to f32 roundoff."""
+    src, tgt, T_true = make_registration_pair(n=4000, seed=94, noise_sigma=0.01)
+    kw = dict(
+        coarse_max_points=800, dtype=jnp.float32, max_iterations=12,
+        nn_backend="pallas", grid_resolution=8,
+    )
+    fast = icp_register_multiscale(src, tgt, overlap_device_prep=True, **kw)
+    ref = icp_register_multiscale(src, tgt, overlap_device_prep=False, **kw)
+    assert fast.success and ref.success
+    err = float(
+        registration_error(
+            jnp.asarray(fast.transform, jnp.float64),
+            jnp.asarray(ref.transform, jnp.float64),
+            jnp.asarray(src),
+        )
+    )
+    assert err < 1e-4, f"overlap vs host-prep divergence {err}"
+    # Registered cloud comes back in original row order despite the
+    # on-device layout/gather (apply_permutation round-trip).
+    mapped = src @ fast.transform[:3, :3].T + fast.transform[:3, 3]
+    assert fast.final.source_registered is not None
+    np.testing.assert_allclose(
+        mapped, fast.final.source_registered, atol=1e-3
+    )
+
+
 def test_multiscale_sharded_fine_level():
     from iterativeclosestpoint_tpu.parallel.mesh import make_mesh
 
