@@ -555,15 +555,21 @@ def _run_segmented(
             sigma_multiplier=sigma_multiplier,
             widen_first=(widen_first and done == 0), estimator=estimator,
         )
-        k = int(out["recorded"])
+        # One batched async pull for everything the host reads this
+        # segment (vs ~9 sequential ~35 ms device-tunnel roundtrips).
+        host = jax.device_get(
+            {**{key: out[key] for key in _HIST_KEYS},
+             "recorded": out["recorded"], "stop": out["stop"]}
+        )
+        k = int(host["recorded"])
         for key in _HIST_KEYS:
-            parts[key].append(np.asarray(out[key][:k]))
+            parts[key].append(host[key][:k])
         src = out["src"]
         carry = (out["T_cum"], out["prev_error"], out["no_improve"])
-        seg_stop = int(out["stop"])
+        seg_stop = int(host["stop"])
 
         if progress_callback is not None:
-            seg_T_world = _rebase_transform(np.asarray(out["h_T"][:k]), offset)
+            seg_T_world = _rebase_transform(host["h_T"][:k], offset)
             for i in range(k):
                 Tw = seg_T_world[i]
                 rot = float(np.degrees(np.arccos(np.clip(
@@ -571,15 +577,15 @@ def _run_segmented(
                 progress_callback(
                     {
                         "iteration": total_recorded + i + 1,
-                        "rmse": float(out["h_rmse"][i]),
-                        "valid_points": int(out["h_valid"][i]),
-                        "outlier_points": int(out["h_out"][i]),
+                        "rmse": float(host["h_rmse"][i]),
+                        "valid_points": int(host["h_valid"][i]),
+                        "outlier_points": int(host["h_out"][i]),
                         "transform": Tw,
                         "rotation_angle_deg": rot,
                         "translation_norm": float(np.linalg.norm(Tw[:3, 3])),
-                        "mean_dist": float(out["h_mean"][i]),
-                        "std_dist": float(out["h_std"][i]),
-                        "threshold": float(out["h_thr"][i]),
+                        "mean_dist": float(host["h_mean"][i]),
+                        "std_dist": float(host["h_std"][i]),
+                        "threshold": float(host["h_thr"][i]),
                     }
                 )
         total_recorded += k
@@ -808,7 +814,11 @@ def package_result(out, offset, return_registered: bool = True) -> ICPResult:
         # tunnel when the caller only wants the transform/history (the
         # multiscale coarse levels and the bench do this every call).
         out = {k: v for k, v in out.items() if k != "src"}
-    out = jax.tree.map(np.asarray, out)
+    # device_get starts ALL transfers async then collects — one tunnel
+    # roundtrip instead of ~13 sequential blocking np.asarray pulls
+    # (~35 ms each through the device tunnel).
+    out = jax.device_get(out)
+    out = jax.tree.map(np.asarray, out)  # passthrough for np leaves
 
     k = int(out["recorded"])
     stop = int(out["stop"])

@@ -354,14 +354,36 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
                 j = jnp.argmin(d2, axis=1)  # (tile_q,)
                 dmin = jnp.min(d2, axis=1)
                 # Winner coordinates (and, rows 3-5, the winner's normal
-                # when the grid packs normals) via one one-hot MXU
-                # contraction — no gather.
+                # when the grid packs normals) via one-hot MXU
+                # contraction — no gather. The contraction must be EXACT
+                # in f32 (matched coordinates feed the pose solve), but
+                # Precision.HIGHEST costs 6 MXU passes and the ICP driver
+                # traces everything under default_matmul_precision
+                # ("highest") — measured +42 ms/call at 1M pts. Instead:
+                # split the candidate rows into three bf16-exact terms
+                # (disjoint 8-bit mantissa windows: hi, mid, lo) and do
+                # three DEFAULT (1-pass) dots. A one-hot row selects a
+                # single bf16-exact term per dot (f32 accumulate, no
+                # rounding), and hi+mid+lo reassembles the f32
+                # coordinate bit-for-bit at half the HIGHEST cost.
+                # (Precision.HIGH is NOT enough: its 2-term operand
+                # split keeps 16 mantissa bits, ~0.2 mm at local scale.)
                 onehot = (oh_iota == j[:, None]).astype(jnp.float32)
-                coords = jax.lax.dot_general(
-                    onehot, c[0:6, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (tile_q, 6)
+                c6 = c[0:6, :]
+                c_hi = c6.astype(jnp.bfloat16).astype(jnp.float32)
+                r1 = c6 - c_hi
+                c_mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+                c_lo = r1 - c_mid
+                dn = (((1,), (1,)), ((), ()))
+
+                def _ext(cpart):
+                    return jax.lax.dot_general(
+                        onehot, cpart, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+
+                coords = _ext(c_hi) + _ext(c_mid) + _ext(c_lo)  # (tile_q, 6)
                 take = dmin < best_d2
                 best_d2 = jnp.where(take, dmin, best_d2)
                 best_xyz = jnp.where(take[:, None], coords, best_xyz)
@@ -434,12 +456,26 @@ def nn_colsweep(
     # Per-query certification (not per-tile): a query needs its own x±1
     # slabs present and within the range cap; y is always fully covered by
     # the dynamic [miny-1, maxy+1] span, z by the full column.
+    #
+    # The per-query lookup into the (t, slabs) fit table is done as a
+    # one-hot select over the (static, tiny) slab axis — NOT
+    # take_along_axis, whose row gather costs ~30 ns/row on TPU: three
+    # dx-shifted 1M-row gathers profiled at 33 ms/iteration, >20% of the
+    # whole ICP step.
     sx = qc_t[..., 0] - (minc[:, 0:1] - 1)  # (t, tile_q) slab coord
     in_box = sx + 1 <= slabs - 1
-    fit3 = jnp.ones_like(in_box)
-    for dx in (-1, 0, 1):
-        si = jnp.clip(sx + dx, 0, slabs - 1)
-        fit3 &= jnp.take_along_axis(slab_fit, si, axis=1)
+    # fit3_tab[t, s] = slab_fit[t, clip(s-1)] & [s] & [clip(s+1)]
+    fit3_tab = slab_fit
+    fit3_tab = fit3_tab & jnp.concatenate(
+        [slab_fit[:, :1], slab_fit[:, :-1]], axis=1
+    )
+    fit3_tab = fit3_tab & jnp.concatenate(
+        [slab_fit[:, 1:], slab_fit[:, -1:]], axis=1
+    )
+    s_iota = jnp.arange(slabs, dtype=sx.dtype)
+    fit3 = jnp.any(
+        (sx[..., None] == s_iota) & fit3_tab[:, None, :], axis=-1
+    )  # (t, tile_q)
     query_complete = (in_box & fit3).reshape(n)
 
     # Certificate radius = distance from the query POINT to the edge of
@@ -604,32 +640,54 @@ def nn_colsweep_exact(
         return jnp.concatenate([bm, jnp.zeros_like(bm)], axis=1)
 
     if coarse_grid is not None and coarse_resolution:
-        ct = max(min(coarse_budget // tile_q, t), 1)
-        bad_tile = jnp.any(~c_t, axis=1)
-        n_bad_t = jnp.sum(bad_tile, dtype=jnp.int32)
+        ct_full = max(min(coarse_budget // tile_q, t), 1)
+        # Two budget stages: in the drift steady state (coarse-to-fine
+        # init, source jiggling by millimeters per iteration) only ~0.05%
+        # of queries decertify — a handful of tiles — yet a single
+        # full-budget stage re-sweeps its whole ``ct_full``-tile batch
+        # against the coarse grid every iteration (profiled 46 ms/iter at
+        # 1M pts). A small first stage covers the drizzle at ~1/8 the
+        # cost; the full stage only fires when the small budget cannot
+        # hold every bad tile (cold starts, large misalignments).
+        ct_small = max(min(64, ct_full // 2), 1)
+        stages = [ct_small] + ([ct_full] if ct_full > ct_small else [])
 
-        def coarse_repair(carry):
-            m_t, d_t, c_t = carry
-            tsel = jnp.argsort((~bad_tile).astype(jnp.int32), stable=True)[:ct]
-            qc = q_t[tsel].reshape(ct * tile_q, 3)
-            m_c, n_c, d_c, cert_c = nn_colsweep(
-                qc, coarse_grid, resolution=coarse_resolution, tile_q=tile_q,
-                slabs=slabs, trange=coarse_trange,
-            )
-            m_c6 = jnp.concatenate([m_c, n_c], axis=1).reshape(ct, tile_q, 6)
-            d_c = d_c.reshape(ct, tile_q)
-            cert_c = cert_c.reshape(ct, tile_q)
-            live = (jnp.arange(ct, dtype=jnp.int32) < n_bad_t)[:, None]
-            upd = live & cert_c
-            return (
-                m_t.at[tsel].set(jnp.where(upd[..., None], m_c6, m_t[tsel])),
-                d_t.at[tsel].set(jnp.where(upd, d_c, d_t[tsel])),
-                c_t.at[tsel].set(c_t[tsel] | upd),
-            )
+        def mk_repair(ct):
+            def coarse_repair(carry):
+                m_t, d_t, c_t = carry
+                bad = jnp.any(~c_t, axis=1)
+                n_bad = jnp.sum(bad, dtype=jnp.int32)
+                tsel = jnp.argsort((~bad).astype(jnp.int32), stable=True)[:ct]
+                qc = q_t[tsel].reshape(ct * tile_q, 3)
+                m_c, n_c, d_c, cert_c = nn_colsweep(
+                    qc, coarse_grid, resolution=coarse_resolution,
+                    tile_q=tile_q, slabs=slabs, trange=coarse_trange,
+                )
+                m_c6 = jnp.concatenate(
+                    [m_c, n_c], axis=1
+                ).reshape(ct, tile_q, 6)
+                d_c = d_c.reshape(ct, tile_q)
+                cert_c = cert_c.reshape(ct, tile_q)
+                live = (jnp.arange(ct, dtype=jnp.int32) < n_bad)[:, None]
+                upd = live & cert_c
+                return (
+                    m_t.at[tsel].set(
+                        jnp.where(upd[..., None], m_c6, m_t[tsel])
+                    ),
+                    d_t.at[tsel].set(jnp.where(upd, d_c, d_t[tsel])),
+                    c_t.at[tsel].set(c_t[tsel] | upd),
+                )
 
-        m_t, d_t, c_t = jax.lax.cond(
-            n_bad_t > 0, coarse_repair, lambda c: c, (m_t, d_t, c_t)
-        )
+            return coarse_repair
+
+        for ct in stages:
+            # Each stage re-reads the (updated) cert mask; a later stage
+            # fires only if the previous one left uncertified tiles
+            # (budget exceeded, or coarse-uncertifiable queries).
+            n_bad_t = jnp.sum(jnp.any(~c_t, axis=1), dtype=jnp.int32)
+            m_t, d_t, c_t = jax.lax.cond(
+                n_bad_t > 0, mk_repair(ct), lambda c: c, (m_t, d_t, c_t)
+            )
 
     bad_tile2 = jnp.any(~c_t, axis=1)
     n_bad_t2 = jnp.sum(bad_tile2, dtype=jnp.int32)
