@@ -429,6 +429,17 @@ def _default_nn(
             "estimator='plane' supports nn_backend 'bruteforce' or 'pallas'"
         )
     if nn_backend == "bruteforce":
+        # On a real TPU in f32, brute force routes through the slab-sweep
+        # kernel with a degenerate one-cell grid (exact, same tie order):
+        # the XLA explicit-difference form materializes an HBM-bound
+        # (n, m, 3) chunk tensor — profiled 4x slower on the coarse
+        # multiscale level. CPU/f64 paths keep the XLA form (interpret
+        # mode is slow; f64 brute is the oracle-parity reference).
+        use_kernel = (
+            jax.default_backend() == "tpu"
+            and m <= 131072
+            and jnp.dtype(dtype) == jnp.float32
+        )
         if estimator == "plane":
             from iterativeclosestpoint_tpu.ops.cellblock import (
                 auto_resolution_data,
@@ -440,7 +451,21 @@ def _default_nn(
             nrm = estimate_normals_cellpca(
                 target_local, auto_resolution_data(target_local)
             )
+            if use_kernel:
+                from iterativeclosestpoint_tpu.ops.pallas_nn import (
+                    make_pallas_brute,
+                )
+
+                fn, grid = make_pallas_brute(target_local, normals=nrm)
+                return fn, grid, None, None
             return _brute_plane_adapter, jnp.asarray(nrm, dtype), None, None
+        if use_kernel:
+            from iterativeclosestpoint_tpu.ops.pallas_nn import (
+                make_pallas_brute,
+            )
+
+            fn, grid = make_pallas_brute(target_local)
+            return fn, grid, None, None
         return _brute_adapter, (), None, None
     if nn_backend == "cellblock":
         from iterativeclosestpoint_tpu.ops.cellblock import (

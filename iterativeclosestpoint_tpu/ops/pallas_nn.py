@@ -294,6 +294,59 @@ def make_pallas_nn_device(
     )
 
 
+def make_pallas_brute(
+    target_local: np.ndarray,
+    dtype=np.float32,
+    normals: "np.ndarray | None" = None,
+):
+    """All-pairs exact 1-NN through the slab-sweep kernel (R=1 grid).
+
+    TPU-native brute force: a single degenerate grid cell makes every
+    query tile's one slab span the whole row-ordered target, which the
+    kernel sweeps from VMEM in lane chunks — no (n, m, 3) difference
+    tensor (the XLA explicit-difference form in ops.bruteforce
+    materializes ~50 MB per 2048x2048 chunk and is HBM-bound: profiled
+    266 ms for 15 coarse ICP iterations at 30k^2 vs ~60 ms here).
+
+    Results and tie order match ops.bruteforce.nn_bruteforce exactly:
+    the stable sort of a single cell preserves row order, the kernel's
+    chunk scan takes the first minimum, and d2 uses the same explicit
+    difference form. With ``normals`` (M,3) the adapter returns
+    (matched, dist, normal) — the point-to-plane contract.
+
+    Only valid for m <= ~128k (the slab must fit VMEM); callers above
+    that use the real grid. 1-NN semantics of core/octree.cpp:175-184.
+    """
+    target_local = np.asarray(target_local)
+    m = len(target_local)
+    trange = max(-(-m // 128) * 128, 128)
+    if trange > 131072:
+        raise ValueError(f"pallas brute limited to m<=131072, got {m}")
+    grid = build_pallas_grid(
+        target_local, resolution=1, trange=trange, dtype=np.float32,
+        normals=normals,
+    )
+    return _brute_fn(trange, normals is not None), grid
+
+
+@functools.lru_cache(maxsize=None)
+def _brute_fn(trange: int, with_normals: bool):
+    # Module-level cache: the ICP driver jit-specializes on the nn_fn
+    # OBJECT (static arg), so the adapter must be one function per
+    # (trange, normals) — a fresh closure per registration would
+    # recompile the whole loop every call.
+    def fn(query, target, nn_state):
+        del target
+        matched, nrm, dist, _cert = nn_colsweep(
+            query, nn_state, resolution=1, slabs=1, trange=trange,
+        )
+        if with_normals:
+            return matched, dist, nrm
+        return matched, dist
+
+    return fn
+
+
 def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
     """Kernel factory. Each slab is processed in lane-chunks of ``chunk``
     so the (tile_q × chunk) distance/one-hot working set stays ~2 MB of
@@ -330,8 +383,6 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
         best_d2 = jnp.full((tile_q,), big, jnp.float32)
         best_xyz = jnp.zeros((tile_q, 6), jnp.float32)
 
-        oh_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_q, chunk), 1)
-
         for s in range(slabs):
             slot = s % 2
             if s + 1 < slabs:
@@ -339,7 +390,14 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
             get_dma(slot, s).wait()
 
             for k in range(n_chunks):
-                c = cand[slot, :, k * chunk : (k + 1) * chunk]  # (8, chunk)
+                # Static per-chunk width: the tail chunk may be shorter
+                # when trange is not a chunk multiple (any 128-multiple
+                # width is lane-legal).
+                w = min(chunk, trange - k * chunk)
+                oh_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_q, w), 1
+                )
+                c = cand[slot, :, k * chunk : k * chunk + w]  # (8, w)
                 # No row-validity mask: every row in [b, b+trange) is
                 # either a real target point (possibly outside the
                 # certified window — a SUPERSET of candidates still yields
@@ -374,16 +432,17 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
                 r1 = c6 - c_hi
                 c_mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
                 c_lo = r1 - c_mid
-                dn = (((1,), (1,)), ((), ()))
-
-                def _ext(cpart):
-                    return jax.lax.dot_general(
-                        onehot, cpart, dimension_numbers=dn,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT,
-                    )
-
-                coords = _ext(c_hi) + _ext(c_mid) + _ext(c_lo)  # (tile_q, 6)
+                # All three terms ride ONE dot: the MXU output dim is 128
+                # wide, so 18 columns costs the same pass as 6 — the
+                # per-dot overhead dominated the extraction (3 dots
+                # measured ~8 ms/call each at 1M pts).
+                c3 = jnp.concatenate([c_hi, c_mid, c_lo], axis=0)  # (18, chunk)
+                ext = jax.lax.dot_general(
+                    onehot, c3, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )  # (tile_q, 18)
+                coords = ext[:, 0:6] + ext[:, 6:12] + ext[:, 12:18]
                 take = dmin < best_d2
                 best_d2 = jnp.where(take, dmin, best_d2)
                 best_xyz = jnp.where(take[:, None], coords, best_xyz)

@@ -328,3 +328,44 @@ def test_icp_device_layout_matches_host_layout(monkeypatch):
     )
     # Registered cloud un-permutes back to the original row order.
     assert res_dev.source_registered.shape == src.shape
+
+
+def test_pallas_brute_matches_xla_brute():
+    """The degenerate one-cell kernel brute path must reproduce the XLA
+    brute-force results exactly: same winners (tie order included), same
+    matched coordinates, same distances."""
+    from iterativeclosestpoint_tpu.ops.bruteforce import nn_bruteforce
+    from iterativeclosestpoint_tpu.ops.pallas_nn import make_pallas_brute
+
+    tgt = make_cloud(1500, seed=81, kind="terrain")
+    # Duplicate a block of points to force distance ties.
+    tgt[700:720] = tgt[100:120]
+    rng = np.random.default_rng(1)
+    q = tgt[:900] + rng.normal(0, 0.05, (900, 3))
+
+    fn, grid = make_pallas_brute(tgt)
+    m_k, d_k = fn(jnp.asarray(q, jnp.float32), None, grid)
+
+    idx, d_b = nn_bruteforce(
+        jnp.asarray(q, jnp.float32), jnp.asarray(tgt, jnp.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(m_k), tgt[np.asarray(idx)].astype(np.float32))
+    np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_b), rtol=0, atol=1e-6)
+
+
+def test_pallas_brute_plane_normals():
+    """Brute kernel with packed normals returns the winner's normal."""
+    from iterativeclosestpoint_tpu.ops.bruteforce import nn_bruteforce
+    from iterativeclosestpoint_tpu.ops.pallas_nn import make_pallas_brute
+
+    tgt = make_cloud(1200, seed=82)
+    nrm = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (len(tgt), 1))
+    nrm[: len(tgt) // 2] = [1.0, 0.0, 0.0]
+    q = tgt[:500] + np.random.default_rng(2).normal(0, 0.02, (500, 3))
+
+    fn, grid = make_pallas_brute(tgt, normals=nrm)
+    m_k, d_k, n_k = fn(jnp.asarray(q, jnp.float32), None, grid)
+    idx, _ = nn_bruteforce(
+        jnp.asarray(q, jnp.float32), jnp.asarray(tgt, jnp.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(n_k), nrm[np.asarray(idx)])
