@@ -508,6 +508,7 @@ def _default_nn(
             rows, weight = grouped_tile_order_device(
                 source_dev, grid[0].origin, grid[0].cell_size,
                 resolution=resolution,
+                tile_q=getattr(nn_fn, "tile_q", 128),
             )
             return nn_fn, grid, rows, weight
         nn_fn, grid, resolution = make_pallas_nn(
@@ -661,8 +662,9 @@ def apply_permutation(
     return res
 
 
-@functools.partial(jax.jit, static_argnames=("resolution",))
-def _prep_fine_source(src_raw, T_loc, origin, cell_size, *, resolution):
+@functools.partial(jax.jit, static_argnames=("resolution", "tile_q"))
+def _prep_fine_source(src_raw, T_loc, origin, cell_size, *, resolution,
+                      tile_q=128):
     """One-dispatch fine-level source prep: apply the (local-frame) initial
     transform on device, build the x-group-aligned query layout, gather.
 
@@ -674,7 +676,7 @@ def _prep_fine_source(src_raw, T_loc, origin, cell_size, *, resolution):
 
     src = apply_transform(T_loc, src_raw)
     rows, weight = grouped_tile_order_device(
-        src, origin, cell_size, resolution=resolution
+        src, origin, cell_size, resolution=resolution, tile_q=tile_q
     )
     return src[rows], rows, weight
 
@@ -774,6 +776,7 @@ def icp_register(
         src_local, rows, row_weight = _prep_fine_source(
             src_local, jnp.asarray(T_loc, dtype), grid0.origin,
             grid0.cell_size, resolution=resolution,
+            tile_q=getattr(nn_fn, "tile_q", 128),
         )
         layout_applied = True  # _prep_fine_source already gathered
     elif nn_fn is None:
