@@ -62,11 +62,14 @@ def main():
     log(f"warmup done: rmse={fine.rmse:.6f} fine iters={fine.iterations}")
 
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         res = icp_register_multiscale(src, tgt, **kwargs)
         times.append(time.perf_counter() - t0)
-    elapsed = min(times)  # full pipeline: coarse + fine + host prep
+    # Full pipeline: coarse + fine + host prep + uploads. Min of 5: the
+    # device-tunnel transfer rate in this environment swings runs by
+    # up to ~1 s, independent of the compute under test.
+    elapsed = min(times)
     tpu_pps = N_POINTS * ITERS / elapsed
 
     # Speed-of-light report for the hot kernels (BASELINE.md requirement).

@@ -799,6 +799,15 @@ def icp_register(
         jnp.asarray(row_weight, dtype) if row_weight is not None else None
     )
 
+    if not segment_iterations and n_orig >= 2_000_000:
+        # Auto-segment very large runs: a single fused while-loop program
+        # over 10M points can run minutes on device when iterations go
+        # repair-heavy (poorly aligned start), and device programs that
+        # run longer than ~1-2 min get the worker killed (observed: 25 s
+        # programs survive, ~260 s programs crash the TPU worker).
+        # Slices of 2-4 iterations keep each dispatch bounded; the
+        # trajectory is identical (same compiled body, carried state).
+        segment_iterations = max(2, int(8_000_000 // max(n_orig, 1)))
     if segment_iterations and segment_iterations > 0:
         out = _run_segmented(
             src_local, tgt_local, nn_state, offset, weight=weight_dev,

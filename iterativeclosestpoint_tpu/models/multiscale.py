@@ -78,7 +78,16 @@ def icp_register_multiscale(
 
     if strides is None:
         s = max(1, -(-n // coarse_max_points))
-        strides = (s, 1) if s > 1 else (1,)
+        # Deep pyramids for very large clouds: each level must start
+        # within its own NN grid's cell size or the certified fast path
+        # degrades into per-iteration repair (and, at 10M+, device
+        # programs long enough to trip the worker watchdog). sqrt-spaced
+        # intermediate levels keep every level's residual misalignment
+        # below the next level's cell size.
+        ladder = [s]
+        while ladder[-1] > 64:
+            ladder.append(max(2, int(round(ladder[-1] ** 0.5))))
+        strides = tuple(ladder) + (1,) if s > 1 else (1,)
     if strides[-1] != 1:
         strides = tuple(strides) + (1,)
 

@@ -54,6 +54,9 @@ from iterativeclosestpoint_tpu.ops.cellblock import (
 
 _BIG = 1.0e18
 _FAR = 1.0e6  # padding coordinate: far but square-safe in f32
+# Scalar-prefetch operands live in SMEM (1 MB total); leave headroom for
+# other SMEM users. Tests shrink this to exercise the tile-split path.
+_SMEM_PREFETCH_BUDGET = 786_432
 
 
 class PallasGrid(NamedTuple):
@@ -581,39 +584,74 @@ def nn_colsweep(
     )
 
     kernel = _colsweep_kernel(slabs, trange, tile_q)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(t,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 8, tile_q), lambda i, *refs: (i, 0, 0), memory_space=pltpu.VMEM
+
+    def call_kernel(base_part, q_part):
+        tp = q_part.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(tp,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 8, tile_q), lambda i, *refs: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 8, tile_q), lambda i, *refs: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, trange), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        (o,) = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((tp, 8, tile_q), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=9 * tp * slabs * tile_q * trange,
+                bytes_accessed=tp * slabs * trange * 12,
+                transcendentals=0,
             ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, 8, tile_q), lambda i, *refs: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 8, trange), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    (out,) = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((t, 8, tile_q), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=9 * t * slabs * tile_q * trange,
-            bytes_accessed=t * slabs * trange * 12,
-            transcendentals=0,
-        ),
-        # CPU test environments run the TPU kernel in interpreter mode.
-        interpret=(jax.default_backend() != "tpu"),
-    )(base.reshape(-1), q_tiles, grid.tgt_t)
+            # CPU test environments run the TPU kernel in interpreter mode.
+            interpret=(jax.default_backend() != "tpu"),
+        )(base_part.reshape(-1), q_part, grid.tgt_t)
+        return o
+
+    # The scalar-prefetch base table lives in SMEM (1 MB): t·slabs int32
+    # overflows it past ~49k tiles (≈6.3M queries at tile_q=128). Split
+    # the tile axis into equal parts that fit — identical part shapes
+    # reuse one kernel compile; each part is still tens of thousands of
+    # grid steps, so the split costs nothing.
+    t_cap = max((_SMEM_PREFETCH_BUDGET // 4) // slabs, 1)
+    if t <= t_cap:
+        out = call_kernel(base, q_tiles)
+    else:
+        parts = -(-t // t_cap)
+        t_part = -(-t // parts)
+        pad_t = parts * t_part - t
+        if pad_t:
+            base = jnp.concatenate(
+                [base, jnp.broadcast_to(base[-1:], (pad_t, slabs))], axis=0
+            )
+            q_tiles = jnp.concatenate(
+                [q_tiles, jnp.broadcast_to(q_tiles[-1:], (pad_t, 8, tile_q))],
+                axis=0,
+            )
+        out = jnp.concatenate(
+            [
+                call_kernel(
+                    base[p * t_part:(p + 1) * t_part],
+                    q_tiles[p * t_part:(p + 1) * t_part],
+                )
+                for p in range(parts)
+            ],
+            axis=0,
+        )[:t]
 
     d2 = out[:, 6, :].reshape(n)
     dist = jnp.sqrt(jnp.maximum(d2, 0.0)).astype(query.dtype)

@@ -369,3 +369,27 @@ def test_pallas_brute_plane_normals():
         jnp.asarray(q, jnp.float32), jnp.asarray(tgt, jnp.float32)
     )
     np.testing.assert_array_equal(np.asarray(n_k), nrm[np.asarray(idx)])
+
+
+def test_tile_split_path_matches_single_call(monkeypatch):
+    """Past the SMEM prefetch budget the kernel runs in equal tile parts;
+    results must be identical to the single-call path."""
+    import iterativeclosestpoint_tpu.ops.pallas_nn as pn
+
+    tgt = make_cloud(4000, seed=83)
+    q = tgt[:2000] + np.random.default_rng(3).normal(0, 0.03, (2000, 3))
+    R = auto_resolution_data(tgt)
+    grid = build_pallas_grid(tgt, R, trange=1024)
+    qd = jnp.asarray(q[morton_order(q, R)], jnp.float32)
+
+    m1, n1, d1, c1 = nn_colsweep(qd, grid, resolution=R, slabs=4,
+                                 trange=1024)
+    # Force a split into ~4 parts (t = 16 tiles at tile_q=128).
+    monkeypatch.setattr(pn, "_SMEM_PREFETCH_BUDGET", 4 * 128)
+    nn_colsweep._clear_cache()
+    m2, n2, d2, c2 = nn_colsweep(qd, grid, resolution=R, slabs=4,
+                                 trange=1024)
+    nn_colsweep._clear_cache()
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
