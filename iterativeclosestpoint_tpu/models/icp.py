@@ -496,12 +496,13 @@ def _default_nn(
             make_pallas_nn_device,
         )
 
-        if device_layout and estimator != "plane":
-            # Grids + query layout built on-accelerator (the normals
-            # path still estimates per-cell PCA on host).
+        if device_layout:
+            # Grids + query layout (and, for plane mode, cell-PCA
+            # normals) built on-accelerator.
             nn_fn, grid, resolution = make_pallas_nn_device(
                 target_local, resolution=grid_resolution,
                 target_dev=target_dev,
+                with_normals=(estimator == "plane"),
             )
             if source_dev is None:
                 source_dev = jnp.asarray(source_local, dtype)
@@ -767,6 +768,12 @@ def icp_register(
     layout_applied = False
     if nn_fn is None and prepared_nn is not None:
         nn_fn, nn_state, resolution = prepared_nn
+        if getattr(nn_fn, "with_normals", False) != (estimator == "plane"):
+            raise ValueError(
+                "prepared_nn was built with with_normals="
+                f"{getattr(nn_fn, 'with_normals', False)} but "
+                f"estimator={estimator!r} — rebuild the factory to match"
+            )
         grid0 = nn_state[0]
         T_loc = (
             _rebase_transform(T_init, -offset)

@@ -106,7 +106,6 @@ def icp_register_multiscale(
         and mesh is None
         and len(strides) > 1
         and dtype == jnp.float32
-        and fine_kwargs.get("estimator", "point") == "point"
         and fine_kwargs.get("nn_fn") is None
         and (
             fine_backend == "pallas"
@@ -131,6 +130,9 @@ def icp_register_multiscale(
             tgt_local,
             resolution=fine_kwargs.get("grid_resolution"),
             target_dev=tgt_dev,
+            with_normals=(
+                fine_kwargs.get("estimator", "point") == "plane"
+            ),
         )
         fine_kwargs.setdefault("nn_backend", "pallas")
         device_data = (src_dev, tgt_dev, offset)

@@ -181,12 +181,14 @@ def _ranges(lengths: np.ndarray) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("resolution", "trange"))
-def _build_grid_dev(target, origin, cell_size, *, resolution: int, trange: int):
-    """On-device equivalent of ``build_pallas_grid`` (no normals rows).
+def _build_grid_dev(target, origin, cell_size, *, resolution: int,
+                    trange: int, normals=None):
+    """On-device equivalent of ``build_pallas_grid``.
 
     Same CSR layout and _FAR padding; jnp.argsort is stable like the
     host's kind="stable", so tie order within a cell matches bit-for-bit.
-    """
+    With ``normals`` (M,3), rows 3-5 carry the per-point normals (the
+    kernel extracts the winner's normal for free — point-to-plane)."""
     R = resolution
     tgt = target.astype(jnp.float32)
     org = origin.astype(jnp.float32)
@@ -202,9 +204,19 @@ def _build_grid_dev(target, origin, cell_size, *, resolution: int, trange: int):
     top = jnp.concatenate(
         [tgt[order].T, jnp.full((3, trange), _FAR, jnp.float32)], axis=1
     )
-    tt = jnp.concatenate(
-        [top, jnp.full((5, m + trange), _FAR, jnp.float32)], axis=0
-    )
+    if normals is not None:
+        nrows = jnp.concatenate(
+            [normals.astype(jnp.float32)[order].T,
+             jnp.zeros((3, trange), jnp.float32)], axis=1
+        )
+        tt = jnp.concatenate(
+            [top, nrows, jnp.full((2, m + trange), _FAR, jnp.float32)],
+            axis=0,
+        )
+    else:
+        tt = jnp.concatenate(
+            [top, jnp.full((5, m + trange), _FAR, jnp.float32)], axis=0
+        )
     return PallasGrid(tgt_t=tt, cell_start=cell_start, origin=org, cell_size=cs)
 
 
@@ -259,8 +271,14 @@ def make_pallas_nn_device(
     slabs: int = 4,
     target_dev=None,
     tile_q: int = 128,
+    with_normals: bool = False,
 ):
-    """Device-built twin of ``make_pallas_nn`` (point estimator only).
+    """Device-built twin of ``make_pallas_nn``.
+
+    ``with_normals=True`` estimates target normals on device (cell PCA,
+    ops/normals.estimate_normals_cellpca_device) and packs them into the
+    grids — the point-to-plane contract without a host rebuild or the
+    2x full-grid re-upload.
 
     Host work is a single bbox sweep (origin/cell must be static-free
     scalars for the grid geometry); both grid levels are sorted, gathered
@@ -280,6 +298,18 @@ def make_pallas_nn_device(
     if target_dev is None:
         target_dev = jnp.asarray(target_local, jnp.float32)
 
+    normals_dev = None
+    if with_normals:
+        from iterativeclosestpoint_tpu.ops.normals import (
+            estimate_normals_cellpca_device,
+        )
+
+        cell0 = max(float((tmax - tmin).max()) / resolution, 1e-9)
+        normals_dev = estimate_normals_cellpca_device(
+            target_dev, jnp.asarray(tmin, jnp.float32),
+            jnp.asarray(cell0, jnp.float32), resolution=resolution,
+        )
+
     def mk(R, tr):
         cell = max(float((tmax - tmin).max()) / R, 1e-9)
         return _build_grid_dev(
@@ -288,6 +318,7 @@ def make_pallas_nn_device(
             jnp.asarray(cell, jnp.float32),
             resolution=R,
             trange=tr,
+            normals=normals_dev,
         )
 
     grid = mk(resolution, trange)
@@ -295,10 +326,14 @@ def make_pallas_nn_device(
     coarse_trange = 16384
     coarse = mk(coarse_resolution, coarse_trange)
     global_fallback = len(target_local) <= 300_000
-    state = (grid, coarse, jnp.zeros((0,)))
+    state = (
+        grid, coarse,
+        normals_dev if with_normals else jnp.zeros((0,)),
+    )
     return (
         _pallas_fn(resolution, coarse_resolution, trange, coarse_trange,
-                   global_fallback, False, slabs=slabs, tile_q=tile_q),
+                   global_fallback, with_normals, slabs=slabs,
+                   tile_q=tile_q),
         state,
         resolution,
     )
@@ -922,9 +957,10 @@ def _pallas_fn(resolution: int, coarse_resolution: int, trange: int,
             return m, d, nrm
         return m, d
 
-    # The ICP driver reads this to build the matching query layout
-    # (grouped_tile_order group padding must use the kernel's tile size).
+    # The ICP driver reads these to build the matching query layout and
+    # to validate the estimator against the packed grid contents.
     fn.tile_q = tile_q
+    fn.with_normals = with_normals
     return fn
 
 

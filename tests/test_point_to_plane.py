@@ -56,3 +56,70 @@ def test_plane_rejects_unsupported_backend():
     src, tgt, _ = make_registration_pair(n=500, seed=13)
     with pytest.raises(ValueError, match="plane"):
         icp_register(src, tgt, nn_backend="hashgrid", estimator="plane")
+
+
+def test_device_normals_match_host():
+    """Device cell-PCA normals (f32, scatter-add + analytic eigvec) match
+    the host build (f64, eigh) up to sign-free angular tolerance."""
+    import jax.numpy as jnp
+
+    from iterativeclosestpoint_tpu.ops.cellblock import auto_resolution_data
+    from iterativeclosestpoint_tpu.ops.normals import (
+        estimate_normals_cellpca,
+        estimate_normals_cellpca_device,
+    )
+    from iterativeclosestpoint_tpu.utils.synth import make_cloud
+
+    tgt = make_cloud(20000, seed=70, kind="terrain")
+    R = auto_resolution_data(tgt)
+    host = estimate_normals_cellpca(tgt, R)
+
+    tmin = tgt.min(axis=0)
+    cell = max(float((tgt.max(axis=0) - tmin).max()) / R, 1e-9)
+    dev = np.asarray(estimate_normals_cellpca_device(
+        jnp.asarray(tgt, jnp.float32), jnp.asarray(tmin, jnp.float32),
+        jnp.asarray(cell, jnp.float32), resolution=R,
+    ))
+    # angular agreement (sign-free)
+    dots = np.abs(np.sum(host * dev, axis=1))
+    assert np.quantile(dots, 0.01) > 0.99, (
+        f"1% quantile |cos| = {np.quantile(dots, 0.01)}"
+    )
+    assert dots.mean() > 0.999
+
+
+def test_plane_device_path_matches_host_path(monkeypatch):
+    """estimator='plane' through the device-built grids (normals packed
+    on device) must track the host-built trajectory."""
+    import jax.numpy as jnp
+
+    import iterativeclosestpoint_tpu.models.icp as icp_mod
+    from iterativeclosestpoint_tpu.models.icp import icp_register
+    from iterativeclosestpoint_tpu.utils.synth import make_registration_pair
+
+    src, tgt, T_true = make_registration_pair(
+        n=6000, seed=95, noise_sigma=0.01)
+    kwargs = dict(
+        nn_backend="pallas", estimator="plane", max_iterations=8,
+        tolerance=0.0, dtype=jnp.float32, return_registered=False,
+    )
+    res_dev = icp_register(src, tgt, **kwargs)
+
+    orig = icp_mod._default_nn
+
+    def host_nn(*a, **k):
+        k["device_layout"] = False
+        return orig(*a, **k)
+
+    monkeypatch.setattr(icp_mod, "_default_nn", host_nn)
+    res_host = icp_register(src, tgt, **kwargs)
+
+    assert res_dev.success and res_host.success
+    np.testing.assert_allclose(
+        res_dev.history_rmse, res_host.history_rmse, rtol=0, atol=2e-3
+    )
+    from iterativeclosestpoint_tpu.ops.se3 import registration_error
+    err = float(registration_error(
+        jnp.asarray(res_dev.transform), jnp.asarray(res_host.transform),
+        jnp.asarray(src)))
+    assert err < 1e-3, f"device vs host plane divergence {err}"
