@@ -195,18 +195,27 @@ def _build_grid_dev(target, origin, cell_size, *, resolution: int,
     cs = cell_size.astype(jnp.float32)
     coords = jnp.clip(((tgt - org[None, :]) / cs).astype(jnp.int32), 0, R - 1)
     cid = (coords[:, 0] * R + coords[:, 1]) * R + coords[:, 2]
-    order = jnp.argsort(cid)
+    # Multi-operand stable sort carries the coordinate (and normal)
+    # columns as payloads — the argsort formulation costs two extra
+    # 1M-row gathers afterwards (cid[order], tgt[order]) at ~30 ns/row.
+    ops = [cid, tgt[:, 0], tgt[:, 1], tgt[:, 2]]
+    if normals is not None:
+        nf = normals.astype(jnp.float32)
+        ops += [nf[:, 0], nf[:, 1], nf[:, 2]]
+    sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=True)
+    cid_sorted = sorted_ops[0]
     cell_start = jnp.searchsorted(
-        cid[order], jnp.arange(R ** 3 + 1, dtype=jnp.int32)
+        cid_sorted, jnp.arange(R ** 3 + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
 
-    m = tgt.shape[0]
     top = jnp.concatenate(
-        [tgt[order].T, jnp.full((3, trange), _FAR, jnp.float32)], axis=1
+        [jnp.stack(sorted_ops[1:4]),
+         jnp.full((3, trange), _FAR, jnp.float32)], axis=1
     )
+    m = tgt.shape[0]
     if normals is not None:
         nrows = jnp.concatenate(
-            [normals.astype(jnp.float32)[order].T,
+            [jnp.stack(sorted_ops[4:7]),
              jnp.zeros((3, trange), jnp.float32)], axis=1
         )
         tt = jnp.concatenate(
@@ -243,8 +252,12 @@ def grouped_tile_order_device(
     cs = cell_size.astype(jnp.float32)
     c = jnp.clip(((q - org[None, :]) / cs).astype(jnp.int32), 0, R - 1)
     cid = (c[:, 0] * R + c[:, 1]) * R + c[:, 2]
-    order = jnp.argsort(cid)
-    xc = c[:, 0][order]  # sorted (cid is x-major)
+    # One stable sort carrying (row index, x cell) as payloads — the
+    # argsort + xc-gather formulation pays an extra ~30 ns/row gather.
+    _, order, xc = jax.lax.sort(
+        [cid, jnp.arange(n, dtype=jnp.int32), c[:, 0]],
+        dimension=0, num_keys=1, is_stable=True,
+    )  # xc sorted (cid is x-major)
     bounds = jnp.searchsorted(xc, jnp.arange(R + 1, dtype=jnp.int32))
     counts = bounds[1:] - bounds[:-1]
     in_base = bounds[:-1]
@@ -289,7 +302,25 @@ def make_pallas_nn_device(
     (29.7 vs 33.0 ms/call at 1M, trange=1536) but the doubled per-tile
     y-span pushes slab row ranges over the trange cap once the source
     drifts mid-loop — mass decertification, repair storm, 263 ms/iter.
-    trange=2048 restores certification but costs more than it saves."""
+    trange=2048 restores certification but costs more than it saves.
+
+    ``trange``: keep 1536. The slab-window row-count distribution at 1M
+    (R=64 terrain) is p50=790 / p99.9=1064 / max=1453; the fit margin is
+    trange-128, so 1536 (margin 1408) holds through mid-loop layout aging
+    — the query layout is built at the fine level's starting pose, and
+    as ICP moves the source the per-tile spans (hence window rows) GROW.
+    One notch down (1280, margin 1152) certifies 99.95% at the start yet
+    mass-decertifies mid-loop: the staged repair budget overflows into
+    the budgeted-brute safety net and iterations go 40x slower (measured
+    1.6 s/iter; results stay exact — that is the safety net working as
+    designed, just slowly). Kernel cost is also sub-linear in trange on
+    v5e (1280 measured SLOWER than 1536 standalone: 34.3 vs 33.5 ms at
+    1M), so shrinking the sweep buys nothing even when it certifies.
+    jnp.argmin inside the kernel is ~half the kernel time but a
+    hand-rolled eq+masked-iota+min replacement measured the same
+    (Mosaic's lowering is already that), and issuing all slab DMAs
+    upfront instead of double-buffering measured identical too — the
+    kernel sits at the VPU roofline for its pass structure."""
     target_local = np.asarray(target_local)
     if resolution is None:
         resolution = auto_resolution_data(target_local)
