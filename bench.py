@@ -29,6 +29,70 @@ ITERS = int(os.environ.get("BENCH_ITERS", 20))
 BASELINE_N = int(os.environ.get("BENCH_BASELINE_N", min(N_POINTS, 500_000)))
 
 
+def _measure_kernel_sol(src, tgt, log):
+    """Time the two hot kernels standalone on the bench workload and print
+    measured-SoL lines (BASELINE.md 'also report'). The NN kernel is timed
+    at a registered (steady-state) pose — the pose the fine loop spends
+    its iterations at; the fused-moments kernel on the same N."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iterativeclosestpoint_tpu.models.icp import icp_register
+    from iterativeclosestpoint_tpu.ops import pallas_nn as pn
+    from iterativeclosestpoint_tpu.ops.pallas_stats import fused_inlier_moments
+    from iterativeclosestpoint_tpu.runtime.profiling import (
+        covariance_kernel_report,
+        nn_kernel_report,
+    )
+
+    offset = (tgt.min(axis=0) + tgt.max(axis=0)) / 2.0
+    tgtl = (tgt - offset).astype(np.float32)
+    tgt_dev = jax.device_put(tgtl)
+    res = icp_register(src, tgt, dtype=jnp.float32, nn_backend="pallas",
+                       max_iterations=25, tolerance=1e-7,
+                       return_registered=True)
+    q = (res.source_registered - offset).astype(np.float32)
+
+    slabs, trange = 4, 1536
+    nn_fn, state, R = pn.make_pallas_nn_device(
+        tgtl, trange=trange, slabs=slabs, target_dev=tgt_dev)
+    grid = state[0]
+    rows, _ = pn.grouped_tile_order_device(
+        jnp.asarray(q), grid.origin, grid.cell_size, resolution=R)
+    q_dev = jnp.asarray(q)[rows]
+    jax.block_until_ready(q_dev)
+    out = pn.nn_colsweep(q_dev, grid, resolution=R, slabs=slabs,
+                         trange=trange)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        out = pn.nn_colsweep(q_dev, grid, resolution=R, slabs=slabs,
+                             trange=trange)
+    jax.block_until_ready(out)
+    nn_dt = (time.perf_counter() - t0) / reps
+    log(nn_kernel_report(len(q_dev), 128, slabs, trange, nn_dt).line()
+        + "  [measured standalone]")
+
+    matched, dist = out[0], out[2]
+    thr = jnp.asarray(float(jnp.mean(dist)) + 3.0 * float(jnp.std(dist)),
+                      jnp.float32)
+    weight = jnp.ones(q_dev.shape[:1], jnp.float32)
+    mo = fused_inlier_moments(q_dev, matched, dist, weight, thr)
+    jax.block_until_ready(mo)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        mo = fused_inlier_moments(q_dev, matched, dist, weight, thr)
+    jax.block_until_ready(mo)
+    mo_dt = (time.perf_counter() - t0) / reps
+    log(covariance_kernel_report(len(q_dev), mo_dt).line()
+        + "  [measured standalone]")
+    return nn_dt, mo_dt
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -72,19 +136,26 @@ def main():
     elapsed = min(times)
     tpu_pps = N_POINTS * ITERS / elapsed
 
-    # Speed-of-light report for the hot kernels (BASELINE.md requirement).
+    # Speed-of-light report for the hot kernels (BASELINE.md requirement):
+    # each kernel timed STANDALONE at the workload's steady state, not
+    # attributed from full-iteration wall clock.
     from iterativeclosestpoint_tpu.runtime.profiling import (
         covariance_kernel_report,
         nn_kernel_report,
     )
 
     per_iter = elapsed / ITERS
-    log(nn_kernel_report(N_POINTS, 128, 6, 2048, per_iter).line()
-        + "  [full-iteration wall clock]")
-    log(covariance_kernel_report(N_POINTS, per_iter).line()
-        + "  [full-iteration wall clock]")
+    try:
+        kernel_ms = _measure_kernel_sol(src, tgt, log)
+    except Exception as e:  # SoL lines are reporting, not the metric
+        log(f"standalone kernel SoL measurement failed: {e}")
+        log(nn_kernel_report(N_POINTS, 128, 4, 1536, per_iter).line()
+            + "  [full-iteration wall clock]")
+        log(covariance_kernel_report(N_POINTS, per_iter).line()
+            + "  [full-iteration wall clock]")
     log(f"tpu: {elapsed:.3f}s for {ITERS} iters of {N_POINTS} pts "
-        f"-> {tpu_pps:,.0f} points/s/chip")
+        f"-> {tpu_pps:,.0f} points/s/chip "
+        f"({per_iter*1e3:.1f} ms/iteration full pipeline)")
 
     # CPU octree baseline (faithful reference pipeline, -O3 native).
     vs_baseline = None

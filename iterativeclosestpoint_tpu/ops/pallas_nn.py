@@ -169,6 +169,54 @@ def _ranges(lengths: np.ndarray) -> np.ndarray:
     return ix - np.repeat(ends - lengths, lengths)
 
 
+def auto_trange(
+    target: np.ndarray,
+    resolution: int,
+    y_window: int = 4,
+    floor: int = 768,
+    cap: int = 8192,
+) -> int:
+    """Data-adaptive slab range (rows per slab DMA).
+
+    A slab holds the rows of one x-cell restricted to the tile's dilated
+    y-span (~4 cells) over the full z column; rows beyond ``trange`` are
+    truncated, which decertifies the tile and sends it to the repair
+    path. A fixed trange is therefore a density cliff: one notch too
+    small and a denser dataset silently mass-decertifies mid-loop into
+    the budgeted-brute safety net at ~40x the iteration cost (measured;
+    see make_pallas_nn_device). This estimator sizes trange from the
+    target's own distribution instead: mass-weighted p99.9 of the
+    (x, 4-consecutive-y) column-count sums — windows host query tiles in
+    proportion to the points in them — with a 4/3 margin for mid-loop
+    layout aging (the query layout is built at the fine level's starting
+    pose; spans grow as ICP moves the source). On the 1M-terrain bench
+    workload this reproduces the hand-tuned optimum (1536) exactly.
+    """
+    target = np.asarray(target)
+    R = resolution
+    tmin = target.min(axis=0)
+    extent = float((target.max(axis=0) - tmin).max()) or 1.0
+    cell = max(extent / R, 1e-9)
+    c = np.clip(((target[:, :2] - tmin[:2]) / cell).astype(np.int64),
+                0, R - 1)
+    counts = np.bincount(c[:, 0] * R + c[:, 1], minlength=R * R)
+    counts = counts.reshape(R, R)
+    cs = np.concatenate(
+        [np.zeros((R, 1), np.int64), np.cumsum(counts, axis=1)], axis=1
+    )
+    w = max(min(y_window, R), 1)
+    win = (cs[:, w:] - cs[:, :-w]).reshape(-1)
+    mass = win.astype(np.float64)
+    total = mass.sum()
+    if total <= 0:
+        return floor
+    order = np.argsort(win)
+    cdf = np.cumsum(mass[order]) / total
+    p999 = int(win[order][np.searchsorted(cdf, 0.999)])
+    tr = -(-int(p999 * 4 / 3) // 128) * 128
+    return int(np.clip(tr, floor, cap))
+
+
 # ---------------------------------------------------------------------------
 # Device-side factory. The host builds above exist for CPU-testable
 # reference behavior and the normals (point-to-plane) path; the driver's
@@ -280,7 +328,7 @@ def grouped_tile_order_device(
 def make_pallas_nn_device(
     target_local: np.ndarray,
     resolution: int | None = None,
-    trange: int = 1536,
+    trange: "int | None" = None,
     slabs: int = 4,
     target_dev=None,
     tile_q: int = 128,
@@ -304,9 +352,11 @@ def make_pallas_nn_device(
     drifts mid-loop — mass decertification, repair storm, 263 ms/iter.
     trange=2048 restores certification but costs more than it saves.
 
-    ``trange``: keep 1536. The slab-window row-count distribution at 1M
-    (R=64 terrain) is p50=790 / p99.9=1064 / max=1453; the fit margin is
-    trange-128, so 1536 (margin 1408) holds through mid-loop layout aging
+    ``trange``: default None = data-adaptive (``auto_trange``), which
+    reproduces 1536 on the 1M-terrain bench workload. Why adaptivity
+    matters: the slab-window row-count distribution at 1M (R=64 terrain)
+    is p50=790 / p99.9=1064 / max=1453; the fit margin is trange-128,
+    so 1536 (margin 1408) holds through mid-loop layout aging
     — the query layout is built at the fine level's starting pose, and
     as ICP moves the source the per-tile spans (hence window rows) GROW.
     One notch down (1280, margin 1152) certifies 99.95% at the start yet
@@ -324,6 +374,8 @@ def make_pallas_nn_device(
     target_local = np.asarray(target_local)
     if resolution is None:
         resolution = auto_resolution_data(target_local)
+    if trange is None:
+        trange = auto_trange(target_local, resolution)
     tmin = target_local.min(axis=0)
     tmax = target_local.max(axis=0)
     if target_dev is None:
@@ -922,18 +974,22 @@ def nn_colsweep_exact(
 def make_pallas_nn(
     target_local: np.ndarray,
     resolution: int | None = None,
-    trange: int = 2048,
+    trange: "int | None" = None,
     dtype=np.float32,
     with_normals: bool = False,
 ):
     """Build grid + (nn_fn, nn_state, resolution) for the ICP driver.
 
+    ``trange=None`` sizes the slab range from the data (``auto_trange``,
+    with the host build's historical extra headroom floor of 2048).
     ``with_normals=True`` estimates target normals (cell PCA) and packs
     them into the grids; the nn_fn then returns
     (matched, dist, normal) — the point-to-plane contract.
     """
     if resolution is None:
         resolution = auto_resolution_data(target_local)
+    if trange is None:
+        trange = max(auto_trange(target_local, resolution), 2048)
 
     normals = None
     normals_dev = None

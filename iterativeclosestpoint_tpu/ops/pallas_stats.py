@@ -51,8 +51,8 @@ def _stats_kernel(tile: int):
         cnt = jnp.sum(v)
         sum_d2 = jnp.sum(v * dm * dm)
         sv = s[0:8, :] * v[None, :]
-        sum_s = jnp.sum(sv[0:3, :], axis=1)  # (3,)
-        sum_t = jnp.sum(t[0:3, :] * v[None, :], axis=1)
+        sum_s = jnp.sum(sv[0:3, :], axis=1, keepdims=True)  # (3, 1)
+        sum_t = jnp.sum(t[0:3, :] * v[None, :], axis=1, keepdims=True)
         # M = Σ v·s·tᵀ — one (3,tile)x(tile,3) contraction on the MXU.
         M = jax.lax.dot_general(
             sv[0:3, :], t[0:3, :],
@@ -60,13 +60,17 @@ def _stats_kernel(tile: int):
             preferred_element_type=jnp.float32,
         )  # (3, 3)
 
-        acc = out_ref[:, :]
-        acc = acc.at[0, 0].add(cnt)
-        acc = acc.at[0, 1].add(sum_d2)
-        acc = acc.at[1, 0:3].add(sum_s)
-        acc = acc.at[2, 0:3].add(sum_t)
-        acc = acc.at[3:6, 0:3].add(M)
-        out_ref[:, :] = acc
+        # Scatter-free accumulation: element-indexed .at[].add lowers to
+        # scatter-add, which Pallas TPU cannot lower. Build the (8, 128)
+        # update block with iota masks / pads (all 2-D) and add whole.
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        upd = jnp.where((row == 0) & (col == 0), cnt, 0.0)
+        upd = jnp.where((row == 0) & (col == 1), sum_d2, upd)
+        upd = jnp.where(row == 1, jnp.pad(sum_s.T, ((0, 0), (0, 125))), upd)
+        upd = jnp.where(row == 2, jnp.pad(sum_t.T, ((0, 0), (0, 125))), upd)
+        upd = upd + jnp.pad(M, ((3, 2), (0, 125)))  # rows 3-5
+        out_ref[:, :] = out_ref[:, :] + upd
 
     return kernel
 

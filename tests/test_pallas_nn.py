@@ -393,3 +393,48 @@ def test_tile_split_path_matches_single_call(monkeypatch):
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_auto_trange_properties():
+    """Data-adaptive slab range: 128-multiple within [floor, cap],
+    monotone in density, and scaling with per-column mass."""
+    from iterativeclosestpoint_tpu.ops.pallas_nn import auto_trange
+
+    sparse = make_cloud(20_000, seed=5)
+    dense = make_cloud(200_000, seed=5)
+    R = auto_resolution_data(dense)
+    tr_sparse = auto_trange(sparse, R)
+    tr_dense = auto_trange(dense, R)
+    for tr in (tr_sparse, tr_dense):
+        assert tr % 128 == 0 and 768 <= tr <= 8192
+    assert tr_sparse <= tr_dense
+    # Halving R quadruples per-column mass -> trange must grow.
+    assert auto_trange(dense, max(R // 2, 8)) > tr_dense
+
+
+def test_auto_trange_default_factory_exact():
+    """The default (auto-trange) device factory stays on the exact path."""
+    rng = np.random.default_rng(11)
+    tgt = make_cloud(6000, seed=29)
+    q = tgt[:3000] + rng.normal(0, 0.05, (3000, 3))
+
+    from iterativeclosestpoint_tpu.ops.pallas_nn import (
+        grouped_tile_order_device,
+        make_pallas_nn_device,
+    )
+
+    nn_fn, state, R = make_pallas_nn_device(tgt)
+    grid = state[0]
+    rows, weight = grouped_tile_order_device(
+        jnp.asarray(q, jnp.float32), grid.origin, grid.cell_size,
+        resolution=R,
+    )
+    qd = jnp.asarray(q, jnp.float32)[rows]
+    matched, dist = nn_fn(qd, jnp.asarray(tgt, jnp.float32), state)
+
+    d_true, i_true = cKDTree(tgt).query(q, k=1)
+    real = np.asarray(weight) > 0
+    np.testing.assert_allclose(
+        np.asarray(dist)[real], d_true[np.asarray(rows)[real]], rtol=1e-5,
+        atol=1e-5,
+    )
