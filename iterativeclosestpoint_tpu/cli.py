@@ -192,6 +192,71 @@ def cmd_view(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Multi-scan joint registration (pose-graph extension — the reference
+    registers one pair at a time with no joint consistency; SURVEY.md §2
+    notes its own screenshots chain sequential pairs)."""
+    from iterativeclosestpoint_tpu.io.las import read_las, write_las
+    from iterativeclosestpoint_tpu.models.posegraph import register_scans
+
+    scans = []
+    hdr0 = None
+    for p in args.scans:
+        pts, hdr = read_las(p, stride=args.stride)
+        if args.voxel:
+            from iterativeclosestpoint_tpu.ops.downsample import (
+                downsample_voxel_stride,
+            )
+
+            pts = downsample_voxel_stride(pts, args.voxel)
+        hdr0 = hdr0 or hdr
+        scans.append(pts)
+        _print(f"loaded {p}: {len(pts)} points")
+    if len(scans) < 2:
+        _print("need at least two scans")
+        return 1
+
+    edges = [(i, i + 1) for i in range(len(scans) - 1)]
+    if args.loop and len(scans) > 2:
+        edges.append((0, len(scans) - 1))  # loop closure: last onto first
+
+    kw = dict(max_iterations=args.max_iterations, tolerance=args.tolerance)
+    if args.estimator:
+        kw["estimator"] = args.estimator
+    if args.nn_backend:
+        kw["nn_backend"] = args.nn_backend
+    res = register_scans(scans, edges=edges,
+                         pose_graph_iterations=args.graph_iterations, **kw)
+    for (i, j), er in zip(edges, res.edge_results):
+        _print(f"edge {i}<-{j}: iters={er.iterations} rmse={er.rmse:.6f} "
+               f"({er.message})")
+    _print(f"pose graph: {res.iterations} GN iterations, "
+           f"edge-residual RMS {res.residual_rmse:.3e}"
+           f"{' (converged)' if res.converged else ''}")
+    if args.poses:
+        Path(args.poses).write_text(json.dumps({
+            "poses": res.poses.tolist(),
+            "iterations": res.iterations,
+            "residual_rmse": res.residual_rmse,
+            "converged": bool(res.converged),
+            "edges": [
+                {"target": i, "source": j, "rmse": float(er.rmse),
+                 "iterations": int(er.iterations), "message": er.message}
+                for (i, j), er in zip(edges, res.edge_results)
+            ],
+        }, indent=1))
+        _print(f"poses written to {args.poses}")
+    if args.output:
+        merged = np.concatenate([
+            s @ T[:3, :3].T + T[:3, 3]
+            for s, T in zip(scans, np.asarray(res.poses))
+        ])
+        write_las(args.output, merged, scale=hdr0.scale)
+        _print(f"merged cloud ({len(merged)} pts, scan-0 frame) written "
+               f"to {args.output}")
+    return 0 if res.converged or res.iterations > 0 else 1
+
+
 def cmd_status(args) -> int:
     p = Path(args.history)
     if not p.exists():
@@ -346,6 +411,27 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--history", help="history JSON (enables replay + RMSE curve)")
     v.add_argument("-k", "--iteration", type=int, default=-1)
     v.set_defaults(fn=cmd_view)
+
+    g = sub.add_parser("graph", help="multi-scan joint registration "
+                                     "(pairwise ICP edges + pose graph)")
+    g.add_argument("scans", nargs="+", help="two or more LAS files, in "
+                                            "chain order")
+    g.add_argument("-o", "--output", help="merged LAS (scan-0 frame)")
+    g.add_argument("--poses", help="per-scan pose JSON output")
+    g.add_argument("--loop", action="store_true",
+                   help="add a loop-closure edge (last scan onto first)")
+    g.add_argument("--stride", type=int, default=1)
+    g.add_argument("--voxel", type=float, default=0.0)
+    g.add_argument("--max-iterations", type=int, dest="max_iterations",
+                   default=50)
+    g.add_argument("--tolerance", type=float, default=1e-6)
+    g.add_argument("--graph-iterations", type=int, dest="graph_iterations",
+                   default=20)
+    g.add_argument("--estimator", choices=["point", "plane"])
+    g.add_argument("--nn-backend", dest="nn_backend",
+                   choices=["auto", "bruteforce", "hashgrid", "cellblock",
+                            "pallas"])
+    g.set_defaults(fn=cmd_graph)
 
     st = sub.add_parser("status", help="run-history dashboard")
     st.add_argument("--history", default="icp_history.jsonl")

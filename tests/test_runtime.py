@@ -184,3 +184,45 @@ def test_profiling_reports():
     assert "SoL" in r.line()
     c = covariance_kernel_report(1_000_000, elapsed_s=0.001)
     assert c.achieved_gbps > 0
+
+
+def test_cli_graph(tmp_path, capsys):
+    """`icp graph`: multi-scan joint registration at the CLI surface."""
+    import json
+
+    import numpy as np
+
+    from iterativeclosestpoint_tpu.io.las import read_las, write_las
+    from iterativeclosestpoint_tpu.utils.synth import (
+        apply_transform_np,
+        make_cloud,
+        random_rigid_transform,
+    )
+
+    base = make_cloud(3000, seed=21)
+    poses = [np.eye(4), random_rigid_transform(seed=31),
+             random_rigid_transform(seed=32)]
+    paths = []
+    for s in range(3):
+        p = tmp_path / f"scan{s}.las"
+        write_las(p, apply_transform_np(np.linalg.inv(poses[s]), base))
+        paths.append(str(p))
+
+    merged = tmp_path / "merged.las"
+    pjson = tmp_path / "poses.json"
+    rc = cli_main(["graph", *paths, "-o", str(merged), "--poses", str(pjson),
+                   "--loop", "--nn-backend", "bruteforce",
+                   "--max-iterations", "120"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pose graph:" in out
+    d = json.loads(pjson.read_text())
+    assert len(d["poses"]) == 3 and len(d["edges"]) == 3  # chain + loop
+    # Each recovered pose maps its scan back onto the scene (LAS writer
+    # quantizes at the default 0.001 scale).
+    for s in range(3):
+        scan, _ = read_las(tmp_path / f"scan{s}.las")
+        rec = apply_transform_np(np.asarray(d["poses"][s]), scan)
+        np.testing.assert_allclose(rec, base, atol=5e-3)
+    mpts, _ = read_las(merged)
+    assert len(mpts) == 3 * len(base)
