@@ -56,24 +56,37 @@ def _measure_kernel_sol(src, tgt, log):
                        return_registered=True)
     q = (res.source_registered - offset).astype(np.float32)
 
-    slabs, trange = 4, 1536
+    # Time the EXACT kernel configuration the pipeline runs: resolution
+    # and trange resolved by the same data-adaptive rules as the driver.
+    slabs = 4
+    R = pn.auto_resolution_data(tgtl)
+    trange = pn.auto_trange(tgtl, R)
     nn_fn, state, R = pn.make_pallas_nn_device(
-        tgtl, trange=trange, slabs=slabs, target_dev=tgt_dev)
+        tgtl, resolution=R, trange=trange, slabs=slabs, target_dev=tgt_dev)
     grid = state[0]
     rows, _ = pn.grouped_tile_order_device(
         jnp.asarray(q), grid.origin, grid.cell_size, resolution=R)
     q_dev = jnp.asarray(q)[rows]
-    jax.block_until_ready(q_dev)
-    out = pn.nn_colsweep(q_dev, grid, resolution=R, slabs=slabs,
-                         trange=trange)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    reps = 10
-    for _ in range(reps):
-        out = pn.nn_colsweep(q_dev, grid, resolution=R, slabs=slabs,
-                             trange=trange)
-    jax.block_until_ready(out)
-    nn_dt = (time.perf_counter() - t0) / reps
+    np.asarray(jnp.ravel(q_dev)[:1])  # hard sync before timing starts
+
+    def _sync(out):
+        # Hard sync via a 1-element pull (~35 ms fixed; TPU dispatch is
+        # in-order, so the last output ready ⇒ the queue is drained).
+        np.asarray(jnp.ravel(jax.tree_util.tree_leaves(out)[-1])[:1])
+
+    def _time_kernel(fn, reps=20):
+        _sync(fn())
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        # The fixed pull cost amortizes over reps and biases dt UP, i.e.
+        # SoL is reported conservatively.
+        _sync(out)
+        return (time.perf_counter() - t0) / reps, out
+
+    nn_dt, out = _time_kernel(
+        lambda: pn.nn_colsweep(q_dev, grid, resolution=R, slabs=slabs,
+                               trange=trange))
     log(nn_kernel_report(len(q_dev), 128, slabs, trange, nn_dt).line()
         + "  [measured standalone]")
 
@@ -81,13 +94,8 @@ def _measure_kernel_sol(src, tgt, log):
     thr = jnp.asarray(float(jnp.mean(dist)) + 3.0 * float(jnp.std(dist)),
                       jnp.float32)
     weight = jnp.ones(q_dev.shape[:1], jnp.float32)
-    mo = fused_inlier_moments(q_dev, matched, dist, weight, thr)
-    jax.block_until_ready(mo)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        mo = fused_inlier_moments(q_dev, matched, dist, weight, thr)
-    jax.block_until_ready(mo)
-    mo_dt = (time.perf_counter() - t0) / reps
+    mo_dt, _ = _time_kernel(
+        lambda: fused_inlier_moments(q_dev, matched, dist, weight, thr))
     log(covariance_kernel_report(len(q_dev), mo_dt).line()
         + "  [measured standalone]")
     return nn_dt, mo_dt
@@ -146,7 +154,7 @@ def main():
 
     per_iter = elapsed / ITERS
     try:
-        kernel_ms = _measure_kernel_sol(src, tgt, log)
+        _measure_kernel_sol(src, tgt, log)
     except Exception as e:  # SoL lines are reporting, not the metric
         log(f"standalone kernel SoL measurement failed: {e}")
         log(nn_kernel_report(N_POINTS, 128, 4, 1536, per_iter).line()

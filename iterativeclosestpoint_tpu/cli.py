@@ -228,8 +228,18 @@ def cmd_graph(args) -> int:
     res = register_scans(scans, edges=edges,
                          pose_graph_iterations=args.graph_iterations, **kw)
     for (i, j), er in zip(edges, res.edge_results):
+        flag = "" if er.success else "  ** FAILED — edge dropped **"
         _print(f"edge {i}<-{j}: iters={er.iterations} rmse={er.rmse:.6f} "
-               f"({er.message})")
+               f"({er.message}){flag}")
+    if res.disconnected:
+        _print(f"ERROR: scan(s) {res.disconnected} have no successful-edge "
+               f"path to scan 0 — their poses are NOT estimated (identity); "
+               f"no usable joint registration")
+        return 1
+    if not np.isfinite(res.residual_rmse):
+        _print("ERROR: pose-graph optimization failed (non-finite residual "
+               "— mutually inconsistent edges); no usable joint registration")
+        return 1
     _print(f"pose graph: {res.iterations} GN iterations, "
            f"edge-residual RMS {res.residual_rmse:.3e}"
            f"{' (converged)' if res.converged else ''}")
@@ -251,10 +261,11 @@ def cmd_graph(args) -> int:
             s @ T[:3, :3].T + T[:3, 3]
             for s, T in zip(scans, np.asarray(res.poses))
         ])
-        write_las(args.output, merged, scale=hdr0.scale)
+        # Preserve scan-0's georeference (quirk-7 CLI behavior, as cmd_run).
+        write_las(args.output, merged, scale=hdr0.scale, offset=hdr0.offset)
         _print(f"merged cloud ({len(merged)} pts, scan-0 frame) written "
                f"to {args.output}")
-    return 0 if res.converged or res.iterations > 0 else 1
+    return 0 if res.iterations > 0 else 1
 
 
 def cmd_status(args) -> int:

@@ -70,6 +70,10 @@ class PoseGraphResult:
     residual_rmse: float       # final edge-residual RMS
     converged: bool
     edge_results: Optional[List[ICPResult]] = None
+    # Scans with no successful-edge path to scan 0: their poses stay
+    # identity and are NOT jointly estimated (every entry here means the
+    # merged output would misplace that scan).
+    disconnected: List[int] = dataclasses.field(default_factory=list)
 
 
 def optimize_pose_graph(
@@ -79,22 +83,55 @@ def optimize_pose_graph(
     max_iterations: int = 20,
     tolerance: float = 1e-10,
     damping: float = 1e-8,
-    dtype=jnp.float64,
+    dtype=None,
+    anchor: Optional[np.ndarray] = None,
 ) -> PoseGraphResult:
     """Gauss-Newton over absolute poses given relative SE(3) measurements.
 
     Args:
       edges: (i, j, Z_ij) with T_j ≈ T_i · Z_ij.
       n_poses: number of scans k; pose 0 is fixed (gauge).
+      anchor: a world point near the scans (e.g. scan 0's centroid). The
+        whole graph is conjugated by ``W = trans(anchor)`` so every
+        translation entry becomes scene-scale: UTM-frame measurements
+        otherwise carry a ~|origin| lever arm in their translation
+        (rotation about the far-away coordinate origin), which destroys
+        the f32 GN on device — the same host-offset-centering scheme the
+        ICP driver uses for coordinates (CLAUDE.md invariant). Solved
+        poses are mapped back via ``T = W · T' · W⁻¹`` in f64 on host.
     """
+    if dtype is None:
+        # f64 when x64 is on (tests/oracles); otherwise f32 without the
+        # per-op truncation warnings (TPU has no f64 anyway — edge
+        # measurements are centered SE(3)s, well inside f32 range).
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     k = n_poses
     E = len(edges)
+    if E == 0:
+        # Nothing to estimate (e.g. every pairwise ICP edge failed):
+        # identity poses, explicitly unconverged.
+        return PoseGraphResult(
+            poses=np.broadcast_to(np.eye(4), (k, 4, 4)).copy(),
+            iterations=0,
+            residual_rmse=float("inf"),
+            converged=False,
+            disconnected=list(range(1, k)),
+        )
     if weights is None:
         weights = [1.0] * E
     ii = np.array([e[0] for e in edges])
     jj = np.array([e[1] for e in edges])
+    W = np.eye(4)
+    if anchor is not None:
+        W[:3, 3] = np.asarray(anchor, np.float64)
+    W_inv = np.eye(4)
+    W_inv[:3, 3] = -W[:3, 3]
+    # Conjugated measurement: Z' = W⁻¹ Z W, so Z'⁻¹ = W⁻¹ Z⁻¹ W; its
+    # translation is the displacement of the anchor point under Z⁻¹ —
+    # scene-scale by construction when scans overlap near the anchor.
     Z_inv = np.stack(
-        [np.linalg.inv(np.asarray(e[2], np.float64)) for e in edges]
+        [W_inv @ np.linalg.inv(np.asarray(e[2], np.float64)) @ W
+         for e in edges]
     )
     w = np.asarray(weights, np.float64)
 
@@ -115,11 +152,19 @@ def optimize_pose_graph(
             dtype, damping, tolerance,
         )
 
+    # Back to the world frame: T = W · T' · W⁻¹ (f64, host).
+    poses_np = W @ np.asarray(poses, np.float64) @ W_inv
+    if not np.isfinite(poses_np).all():
+        # GN blew up (wildly inconsistent edges / singular system despite
+        # damping): surface an explicit failure, never NaN poses.
+        res_rmse, converged = float("inf"), False
+        poses_np = np.broadcast_to(np.eye(4), (k, 4, 4)).copy()
     return PoseGraphResult(
-        poses=np.asarray(poses, np.float64),
+        poses=poses_np,
         iterations=it_done,
         residual_rmse=res_rmse,
         converged=converged,
+        disconnected=_disconnected_from(k, edges),
     )
 
 
@@ -210,6 +255,24 @@ def register_scans(
     out = optimize_pose_graph(
         measured, n_poses=len(scans), weights=weights,
         max_iterations=pose_graph_iterations,
+        anchor=np.asarray(scans[0], np.float64).mean(axis=0),
     )
     out.edge_results = edge_results
+    out.disconnected = _disconnected_from(len(scans), measured)
     return out
+
+
+def _disconnected_from(k: int, measured) -> List[int]:
+    """Scans with no successful-edge path to scan 0 (union-find)."""
+    parent = list(range(k))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i, j, _ in measured:
+        parent[find(i)] = find(j)
+    root0 = find(0)
+    return [s for s in range(1, k) if find(s) != root0]

@@ -169,6 +169,20 @@ def _ranges(lengths: np.ndarray) -> np.ndarray:
     return ix - np.repeat(ends - lengths, lengths)
 
 
+# auto_trange output is quantized onto this geometric ladder: trange is a
+# static arg of the Pallas kernel (and the jitted ICP loop specializes on
+# the nn_fn object), so every distinct value is a fresh 1-8 min remote
+# compile in this environment. The ladder bounds the number of compiled
+# variants at 8 across arbitrarily many datasets while only ever rounding
+# UP (more certification margin, and kernel cost is measured sub-linear in
+# trange on v5e, so the overshoot is nearly free).
+_TRANGE_LADDER = (768, 1024, 1536, 2048, 3072, 4096, 6144, 8192)
+
+# auto_trange estimates its column-count distribution from at most this many
+# points (strided subsample above it) — the host pass is O(N) numpy.
+_AUTO_TRANGE_SAMPLE_CAP = 2_000_000
+
+
 def auto_trange(
     target: np.ndarray,
     resolution: int,
@@ -197,9 +211,16 @@ def auto_trange(
     tmin = target.min(axis=0)
     extent = float((target.max(axis=0) - tmin).max()) or 1.0
     cell = max(extent / R, 1e-9)
-    c = np.clip(((target[:, :2] - tmin[:2]) / cell).astype(np.int64),
+    # Above ~2M points, estimate the distribution from a strided subsample
+    # (scaled back up): the full-array bincount pass costs hundreds of ms
+    # of host time at 10M, and the p99.9 of window sums is insensitive to
+    # uniform thinning at this sample size (the 4/3 margin + ladder
+    # round-up dwarf the estimator noise).
+    stride = max(1, len(target) // _AUTO_TRANGE_SAMPLE_CAP)
+    sampled = target[::stride, :2]
+    c = np.clip(((sampled - tmin[:2]) / cell).astype(np.int64),
                 0, R - 1)
-    counts = np.bincount(c[:, 0] * R + c[:, 1], minlength=R * R)
+    counts = np.bincount(c[:, 0] * R + c[:, 1], minlength=R * R) * stride
     counts = counts.reshape(R, R)
     cs = np.concatenate(
         [np.zeros((R, 1), np.int64), np.cumsum(counts, axis=1)], axis=1
@@ -213,8 +234,11 @@ def auto_trange(
     order = np.argsort(win)
     cdf = np.cumsum(mass[order]) / total
     p999 = int(win[order][np.searchsorted(cdf, 0.999)])
-    tr = -(-int(p999 * 4 / 3) // 128) * 128
-    return int(np.clip(tr, floor, cap))
+    tr = int(np.clip(int(p999 * 4 / 3), floor, cap))
+    for step in _TRANGE_LADDER:  # quantize up onto the compile-reuse ladder
+        if tr <= step:
+            return step
+    return cap
 
 
 # ---------------------------------------------------------------------------

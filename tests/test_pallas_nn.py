@@ -396,9 +396,12 @@ def test_tile_split_path_matches_single_call(monkeypatch):
 
 
 def test_auto_trange_properties():
-    """Data-adaptive slab range: 128-multiple within [floor, cap],
+    """Data-adaptive slab range: ladder-quantized within [floor, cap],
     monotone in density, and scaling with per-column mass."""
-    from iterativeclosestpoint_tpu.ops.pallas_nn import auto_trange
+    from iterativeclosestpoint_tpu.ops.pallas_nn import (
+        _TRANGE_LADDER,
+        auto_trange,
+    )
 
     sparse = make_cloud(20_000, seed=5)
     dense = make_cloud(200_000, seed=5)
@@ -406,10 +409,26 @@ def test_auto_trange_properties():
     tr_sparse = auto_trange(sparse, R)
     tr_dense = auto_trange(dense, R)
     for tr in (tr_sparse, tr_dense):
-        assert tr % 128 == 0 and 768 <= tr <= 8192
+        assert tr in _TRANGE_LADDER  # trange is a static compile arg:
+        # the ladder bounds distinct kernel variants across datasets
     assert tr_sparse <= tr_dense
     # Halving R quadruples per-column mass -> trange must grow.
     assert auto_trange(dense, max(R // 2, 8)) > tr_dense
+
+
+def test_auto_trange_subsample_estimator_stable(monkeypatch):
+    """Above the sample cap the estimator switches to a strided subsample
+    (scaled back up); the ladder bucket must match the full-pass answer."""
+    from iterativeclosestpoint_tpu.ops import pallas_nn as pn
+
+    cloud = make_cloud(400_000, seed=9)
+    R = auto_resolution_data(cloud)
+    full = pn.auto_trange(cloud, R)                  # full-pass (stride=1)
+    monkeypatch.setattr(pn, "_AUTO_TRANGE_SAMPLE_CAP", 100_000)
+    sub = pn.auto_trange(cloud, R)                   # stride=4 subsample
+    assert sub in pn._TRANGE_LADDER
+    assert abs(pn._TRANGE_LADDER.index(sub)
+               - pn._TRANGE_LADDER.index(full)) <= 1
 
 
 def test_auto_trange_default_factory_exact():

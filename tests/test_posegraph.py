@@ -98,3 +98,60 @@ def test_register_scans_end_to_end():
         # Recovered pose maps scan s back to world (scan-0) frame.
         recovered = apply_transform_np(out.poses[s], scans[s])
         np.testing.assert_allclose(recovered, base, atol=1e-4)
+
+
+def test_posegraph_zero_edges_is_explicit_failure():
+    """All-edges-failed path: identity poses, unconverged, all disconnected
+    (optimize_pose_graph used to crash on np.stack of an empty list)."""
+    out = optimize_pose_graph([], n_poses=3)
+    assert out.iterations == 0 and not out.converged
+    assert out.disconnected == [1, 2]
+    np.testing.assert_allclose(out.poses, np.broadcast_to(np.eye(4), (3, 4, 4)))
+
+
+def test_posegraph_disconnected_component_reported():
+    """A successful 0-1 edge but no path to scan 2 → scan 2 flagged."""
+    poses = _random_poses(2, 3)
+    Z01 = np.linalg.inv(poses[0]) @ poses[1]
+    out = optimize_pose_graph([(0, 1, Z01)], n_poses=3)
+    assert out.disconnected == [2]
+    np.testing.assert_allclose(out.poses[2], np.eye(4))  # not estimated
+
+
+def test_register_scans_failed_edges_surface_as_disconnected():
+    """Pairwise ICP failure (too few points) must not crash register_scans;
+    the unreachable scan is reported, not silently placed at identity."""
+    base = make_cloud(2000, seed=5)
+    tiny = base[:2]  # below the reference's 3-valid-pairs minimum
+    out = register_scans(
+        [base, tiny], dtype=jnp.float64, nn_backend="bruteforce",
+        max_iterations=5, return_registered=False,
+    )
+    assert not out.edge_results[0].success
+    assert out.disconnected == [1]
+
+
+def test_posegraph_f32_utm_scale_with_anchor():
+    """UTM-frame measurements carry a ~|origin| lever arm in their
+    translations; the anchor conjugation must make the f32 GN (the only
+    precision on TPU) recover poses to scene-scale accuracy."""
+    rng = np.random.default_rng(17)
+    c = np.array([500_000.0, 4_000_000.0, 300.0])  # UTM-ish anchor
+    k = 4
+    poses = [np.eye(4)]
+    for s in range(1, k):
+        Tl = random_rigid_transform(seed=40 + s)  # local (about origin)
+        C = np.eye(4); C[:3, 3] = c
+        Ci = np.eye(4); Ci[:3, 3] = -c
+        poses.append(C @ Tl @ Ci)  # rotation anchored at the scene
+    edges = []
+    for i in range(k - 1):
+        edges.append((i, i + 1, np.linalg.inv(poses[i]) @ poses[i + 1]))
+    edges.append((0, k - 1, np.linalg.inv(poses[0]) @ poses[k - 1]))
+
+    out = optimize_pose_graph(edges, n_poses=k, dtype=jnp.float32, anchor=c)
+    pts = make_cloud(500, seed=2) + c  # scene points near the anchor
+    for s in range(k):
+        err = np.abs(apply_transform_np(out.poses[s], pts)
+                     - apply_transform_np(poses[s], pts)).max()
+        assert err < 5e-3, (s, err)  # point displacement, not matrix entries
