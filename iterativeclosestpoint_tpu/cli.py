@@ -42,7 +42,7 @@ def cmd_run(args) -> int:
     settings = AppSettings.load(args.settings) if args.settings else AppSettings()
     cfg = settings.icp
     for field in ("max_iterations", "tolerance", "sigma_multiplier", "mode",
-                  "nn_backend", "estimator"):
+                  "nn_backend", "estimator", "robust"):
         v = getattr(args, field, None)
         if v is not None:
             setattr(cfg, field, v)
@@ -223,6 +223,8 @@ def cmd_graph(args) -> int:
     kw = dict(max_iterations=args.max_iterations, tolerance=args.tolerance)
     if args.estimator:
         kw["estimator"] = args.estimator
+    if args.robust:
+        kw["robust"] = args.robust
     if args.nn_backend:
         kw["nn_backend"] = args.nn_backend
     res = register_scans(scans, edges=edges,
@@ -374,6 +376,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--estimator", choices=["point", "plane"],
                    help="'point' = reference Kabsch semantics; 'plane' = "
                         "point-to-plane extension (fast on smooth scans)")
+    r.add_argument("--robust", choices=["none", "huber", "tukey"],
+                   help="M-estimator pose-update weighting (extension; "
+                        "statistics keep the reference's 3-sigma mask)")
     r.add_argument("--multiscale", action="store_true",
                    help="coarse-to-fine pyramid (replaces stride downsample)")
     r.add_argument("--live-every", dest="live_every", type=int, default=0,
@@ -439,6 +444,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--graph-iterations", type=int, dest="graph_iterations",
                    default=20)
     g.add_argument("--estimator", choices=["point", "plane"])
+    g.add_argument("--robust", choices=["none", "huber", "tukey"])
     g.add_argument("--nn-backend", dest="nn_backend",
                    choices=["auto", "bruteforce", "hashgrid", "cellblock",
                             "pallas"])

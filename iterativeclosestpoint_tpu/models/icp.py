@@ -214,9 +214,18 @@ def icp_core_impl(
     widen_first: bool,
     axis_name: Optional[str] = None,
     estimator: str = "point",
+    robust: str = "none",
     carry: Optional[tuple] = None,
 ):
     """The ICP loop in the centered local frame. Returns a dict.
+
+    ``robust`` ("none" | "huber" | "tukey") is an opt-in EXTENSION beyond
+    the reference: it reweights the POSE UPDATE by an M-estimator
+    influence function of the residual distance (scale = the iteration's
+    σ), downweighting heavy-tailed correspondences the hard 3σ gate keeps.
+    Statistics, RMSE, convergence, and history stay on the reference's
+    binary inlier mask, so "none" is bit-identical to the reference
+    semantics and robust modes share its convergence bookkeeping.
 
     Shared by the single-device jit path (``axis_name=None``) and the
     shard_map data-parallel path (``axis_name='dp'`` — source/weight are
@@ -301,10 +310,42 @@ def icp_core_impl(
         will_update = ~(converged | diverged | too_few)
 
         # Masked pose update — always evaluated (fixed cost), selected below.
-        if estimator == "plane":
-            T = _plane_global(src, dst_matched, nrm, valid, ps)
+        # Robust modes soften the binary mask into M-estimator weights
+        # (pose update only; statistics above stay reference-exact). The
+        # scale is MEDIAN-based (σ̂ = med(d)/0.6745): the plain σ is
+        # inflated by the very contamination being downweighted (measured:
+        # σ-scaled Tukey only halves a 20%-biased pull; median-scaled
+        # rejects it). Cost: one masked lax.sort of the distances per
+        # iteration, traced only when robust != "none". Under shard_map
+        # the per-shard medians are psum-averaged (exact on one device,
+        # a standard approximation across shards).
+        if robust == "none":
+            upd_w = valid
         else:
-            T = _kabsch_global(src, dst_matched, valid, ps)
+            d_masked = jnp.where(weight > 0, dist, jnp.inf)
+            d_sorted = jax.lax.sort(d_masked)
+            cnt_loc = jnp.sum((weight > 0).astype(jnp.int32))
+            med_loc = jax.lax.dynamic_index_in_dim(
+                d_sorted, jnp.maximum(cnt_loc - 1, 0) // 2, keepdims=False
+            )
+            scale = (ps(med_loc) / ps(jnp.ones((), f))) / 0.6745
+            if robust == "huber":
+                c = 1.345 * scale
+                w = jnp.minimum(1.0, c / jnp.maximum(dist, 1e-30))
+            elif robust == "tukey":
+                c = 4.685 * scale
+                u = jnp.clip(dist / jnp.maximum(c, 1e-30), 0.0, 1.0)
+                w = (1.0 - u * u) ** 2
+            else:
+                raise ValueError(f"unknown robust mode {robust!r}")
+            # scale = 0 (already perfectly aligned) would zero every
+            # weight; fall back to the plain mask there.
+            w = jnp.where(scale > 0, w, 1.0)
+            upd_w = valid.astype(f) * w.astype(f)
+        if estimator == "plane":
+            T = _plane_global(src, dst_matched, nrm, upd_w, ps)
+        else:
+            T = _kabsch_global(src, dst_matched, upd_w, ps)
         T_cum_new = jnp.where(will_update, T @ s["T_cum"], s["T_cum"])
         src_new = jnp.where(will_update, apply_transform(T, src), src)
 
@@ -346,7 +387,9 @@ def icp_core_impl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nn_fn", "max_iterations", "widen_first", "estimator"),
+    static_argnames=(
+        "nn_fn", "max_iterations", "widen_first", "estimator", "robust",
+    ),
 )
 def _icp_core(
     source: jnp.ndarray,
@@ -361,6 +404,7 @@ def _icp_core(
     sigma_multiplier,
     widen_first: bool,
     estimator: str = "point",
+    robust: str = "none",
 ):
     """Single-device compiled entry for icp_core_impl. ``weight`` marks
     real (1) vs layout-padding (0) rows; None means all-real."""
@@ -378,6 +422,7 @@ def _icp_core(
         widen_first=widen_first,
         axis_name=None,
         estimator=estimator,
+        robust=robust,
         carry=carry,
     )
 
@@ -549,6 +594,7 @@ def _run_segmented(
     sigma_multiplier,
     widen_first,
     estimator,
+    robust,
     progress_callback,
     stop_event,
 ):
@@ -581,6 +627,7 @@ def _run_segmented(
             nn_fn=nn_fn, max_iterations=seg_n, tolerance=tolerance,
             sigma_multiplier=sigma_multiplier,
             widen_first=(widen_first and done == 0), estimator=estimator,
+            robust=robust,
         )
         # One batched async pull for everything the host reads this
         # segment (vs ~9 sequential ~35 ms device-tunnel roundtrips).
@@ -696,6 +743,7 @@ def icp_register(
     grid_resolution: Optional[int] = None,
     cell_capacity: Optional[int] = None,
     estimator: str = "point",
+    robust: str = "none",
     dtype=jnp.float32,
     center: bool = True,
     return_registered: bool = True,
@@ -748,6 +796,8 @@ def icp_register(
         )
     if estimator not in ("point", "plane"):
         raise ValueError(f"unknown estimator {estimator!r}")
+    if robust not in ("none", "huber", "tukey"):
+        raise ValueError(f"unknown robust mode {robust!r}")
     n_orig = len(source)
     rows = row_weight = None
     src_np = tgt_np = None  # host copies, computed lazily when needed
@@ -822,6 +872,7 @@ def icp_register(
             segment_iterations=segment_iterations, tolerance=tolerance,
             sigma_multiplier=sigma_multiplier,
             widen_first=(mode == "gui"), estimator=estimator,
+            robust=robust,
             progress_callback=progress_callback, stop_event=stop_event,
         )
     else:
@@ -836,6 +887,7 @@ def icp_register(
             sigma_multiplier=sigma_multiplier,
             widen_first=(mode == "gui"),
             estimator=estimator,
+            robust=robust,
         )
     res = package_result(out, offset, return_registered)
     if rows is not None and res.source_registered is not None:

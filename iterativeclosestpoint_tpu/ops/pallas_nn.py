@@ -62,7 +62,11 @@ _SMEM_PREFETCH_BUDGET = 786_432
 class PallasGrid(NamedTuple):
     tgt_t: jnp.ndarray       # (8, M + TRANGE) cell-sorted, transposed, padded
                              # (rows 0-2 = x,y,z; rows 3-7 pad — TPU sublane=8)
-    cell_start: jnp.ndarray  # (R³+1,) CSR offsets
+    col_start: jnp.ndarray   # (R²+1,) CSR offsets at (x,y)-COLUMN granularity
+                             # — the sweep only ever reads full-z column
+                             # boundaries, and R²+1 searchsorted queries cost
+                             # ~1 ms where the R³+1 form cost 40 ms at 1M pts
+                             # (binary-search row gathers dominate the build)
     origin: jnp.ndarray      # (3,)
     cell_size: jnp.ndarray   # ()
 
@@ -87,7 +91,9 @@ def build_pallas_grid(
     coords = np.clip(((target - tmin) / cell).astype(np.int32), 0, R - 1)
     cid = (coords[:, 0] * R + coords[:, 1]) * R + coords[:, 2]
     order = np.argsort(cid, kind="stable")
-    cell_start = np.searchsorted(cid[order], np.arange(R**3 + 1)).astype(np.int32)
+    col_start = np.searchsorted(
+        cid[order], np.arange(R**2 + 1, dtype=np.int64) * R
+    ).astype(np.int32)
 
     tt = np.full((8, len(target) + trange), _FAR, dtype)
     tt[:3, : len(target)] = target[order].T
@@ -97,7 +103,7 @@ def build_pallas_grid(
 
     return PallasGrid(
         tgt_t=jnp.asarray(tt),
-        cell_start=jnp.asarray(cell_start),
+        col_start=jnp.asarray(col_start),
         origin=jnp.asarray(tmin, dtype),
         cell_size=jnp.asarray(cell, dtype),
     )
@@ -276,8 +282,8 @@ def _build_grid_dev(target, origin, cell_size, *, resolution: int,
         ops += [nf[:, 0], nf[:, 1], nf[:, 2]]
     sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=True)
     cid_sorted = sorted_ops[0]
-    cell_start = jnp.searchsorted(
-        cid_sorted, jnp.arange(R ** 3 + 1, dtype=jnp.int32)
+    col_start = jnp.searchsorted(
+        cid_sorted, jnp.arange(R ** 2 + 1, dtype=jnp.int32) * R
     ).astype(jnp.int32)
 
     top = jnp.concatenate(
@@ -298,7 +304,29 @@ def _build_grid_dev(target, origin, cell_size, *, resolution: int,
         tt = jnp.concatenate(
             [top, jnp.full((5, m + trange), _FAR, jnp.float32)], axis=0
         )
-    return PallasGrid(tgt_t=tt, cell_start=cell_start, origin=org, cell_size=cs)
+    return PallasGrid(tgt_t=tt, col_start=col_start, origin=org, cell_size=cs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "resolution", "trange", "coarse_resolution", "coarse_trange",
+    ),
+)
+def _build_grids_dev(
+    target_dev, origin, cell, cell_c, normals=None, *,
+    resolution: int, trange: int, coarse_resolution: int, coarse_trange: int,
+):
+    """Fine + coarse grid levels built in one compiled dispatch."""
+    fine = _build_grid_dev(
+        target_dev, origin, cell, resolution=resolution, trange=trange,
+        normals=normals,
+    )
+    coarse = _build_grid_dev(
+        target_dev, origin, cell_c, resolution=coarse_resolution,
+        trange=coarse_trange, normals=normals,
+    )
+    return fine, coarse
 
 
 @functools.partial(jax.jit, static_argnames=("resolution", "tile_q"))
@@ -338,7 +366,12 @@ def grouped_tile_order_device(
     out_base = out_end - n_pad_g
 
     j = jnp.arange(total, dtype=jnp.int32)
-    g = jnp.searchsorted(out_end, j, side="right")
+    # searchsorted(out_end, j, 'right') with only R boundaries: the
+    # broadcast compare+sum is pure VPU work, where searchsorted lowers to
+    # a per-row binary-search gather loop (~30 ns/row — ms at 1M rows).
+    g = jnp.sum(
+        j[:, None] >= out_end[None, :].astype(jnp.int32), axis=1
+    ).astype(jnp.int32)
     g_cl = jnp.clip(g, 0, R - 1)
     r = j - out_base[g_cl]
     cnt = counts[g_cl]
@@ -417,21 +450,23 @@ def make_pallas_nn_device(
             jnp.asarray(cell0, jnp.float32), resolution=resolution,
         )
 
-    def mk(R, tr):
-        cell = max(float((tmax - tmin).max()) / R, 1e-9)
-        return _build_grid_dev(
-            target_dev,
-            jnp.asarray(tmin, jnp.float32),
-            jnp.asarray(cell, jnp.float32),
-            resolution=R,
-            trange=tr,
-            normals=normals_dev,
-        )
-
-    grid = mk(resolution, trange)
     coarse_resolution = max(resolution // 4, 8)
     coarse_trange = 16384
-    coarse = mk(coarse_resolution, coarse_trange)
+    ext = float((tmax - tmin).max())
+    # Both levels in ONE jitted dispatch: fuses the elementwise prep and
+    # halves the dispatch round-trips (measured 11.1 ms fused vs 16.4 ms
+    # as two eager builds at 1M points).
+    grid, coarse = _build_grids_dev(
+        target_dev,
+        jnp.asarray(tmin, jnp.float32),
+        jnp.asarray(max(ext / resolution, 1e-9), jnp.float32),
+        jnp.asarray(max(ext / coarse_resolution, 1e-9), jnp.float32),
+        normals_dev,
+        resolution=resolution,
+        trange=trange,
+        coarse_resolution=coarse_resolution,
+        coarse_trange=coarse_trange,
+    )
     global_fallback = len(target_local) <= 300_000
     state = (
         grid, coarse,
@@ -648,15 +683,15 @@ def nn_colsweep(
     maxc = jnp.max(qc_t, axis=1)
 
     # Slab s covers x = minx-1+s, y ∈ [miny-1, maxy+1], all z: one
-    # contiguous row range [cell_start[(x·R+ylo)·R], cell_start[(x·R+yhi)·R+R]).
+    # contiguous row range [col_start[x·R+ylo], col_start[x·R+yhi+1]).
     s_ix = jnp.arange(slabs, dtype=jnp.int32)
     xs = minc[:, 0:1] - 1 + s_ix[None, :]          # (t, slabs)
     x_ok = (xs >= 0) & (xs < R) & (xs <= maxc[:, 0:1] + 1)
     xs_cl = jnp.clip(xs, 0, R - 1)
     y_lo = jnp.clip(minc[:, 1] - 1, 0, R - 1)[:, None]
     y_hi = jnp.clip(maxc[:, 1] + 1, 0, R - 1)[:, None]
-    start = grid.cell_start[(xs_cl * R + y_lo) * R]
-    end = grid.cell_start[(xs_cl * R + y_hi) * R + R]
+    start = grid.col_start[xs_cl * R + y_lo]
+    end = grid.col_start[xs_cl * R + y_hi + 1]
     start = jnp.where(x_ok, start, 0)
     end = jnp.where(x_ok, end, 0)
 

@@ -39,7 +39,9 @@ from iterativeclosestpoint_tpu.parallel.mesh import make_mesh, pad_to_multiple
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nn_fn", "max_iterations", "widen_first", "mesh"),
+    static_argnames=(
+        "nn_fn", "max_iterations", "widen_first", "mesh", "robust",
+    ),
 )
 def _icp_core_sharded(
     source,
@@ -53,6 +55,7 @@ def _icp_core_sharded(
     sigma_multiplier,
     widen_first: bool,
     mesh: Mesh,
+    robust: str = "none",
 ):
     fn = functools.partial(
         icp_core_impl,
@@ -62,6 +65,7 @@ def _icp_core_sharded(
         sigma_multiplier=sigma_multiplier,
         widen_first=widen_first,
         axis_name="dp",
+        robust=robust,
     )
 
     # Outputs: the transformed source stays sharded; scalars/history are
@@ -107,6 +111,7 @@ def icp_register_sharded(
     dtype=jnp.float32,
     center: bool = True,
     return_registered: bool = True,
+    robust: str = "none",
 ) -> ICPResult:
     """Multi-chip ICP registration (API mirror of models.icp.icp_register).
 
@@ -152,6 +157,7 @@ def icp_register_sharded(
         sigma_multiplier=sigma_multiplier,
         widen_first=(mode == "gui"),
         mesh=mesh,
+        robust=robust,
     )
     # Trim device-padding rows before packaging.
     out = dict(out)

@@ -123,6 +123,7 @@ class RegistrationSession:
                 mode=cfg.mode,
                 nn_backend=cfg.nn_backend,
                 estimator=cfg.estimator,
+                robust=cfg.robust,
                 initial_transform=initial_transform,
                 **overrides,
             )

@@ -35,6 +35,9 @@ class ICPConfig:
     # Pose estimator: "point" (reference Kabsch semantics) or "plane"
     # (point-to-plane extension — far faster convergence on smooth scans).
     estimator: str = "point"
+    # M-estimator pose-update weighting (extension): "none" | "huber" |
+    # "tukey". Statistics/convergence stay on the reference's 3-sigma mask.
+    robust: str = "none"
 
     # Validation ranges from settingspage.cpp:52-78.
     _RANGES = {
@@ -58,6 +61,8 @@ class ICPConfig:
             raise ValueError(f"unknown nn_backend {self.nn_backend!r}")
         if self.estimator not in ("point", "plane"):
             raise ValueError(f"unknown estimator {self.estimator!r}")
+        if self.robust not in ("none", "huber", "tukey"):
+            raise ValueError(f"unknown robust mode {self.robust!r}")
         return self
 
 

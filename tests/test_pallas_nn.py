@@ -261,8 +261,8 @@ def test_device_grid_build_matches_host():
         resolution=R,
         trange=2048,
     )
-    np.testing.assert_array_equal(np.asarray(dev.cell_start),
-                                  np.asarray(host.cell_start))
+    np.testing.assert_array_equal(np.asarray(dev.col_start),
+                                  np.asarray(host.col_start))
     np.testing.assert_array_equal(np.asarray(dev.tgt_t), np.asarray(host.tgt_t))
 
 
