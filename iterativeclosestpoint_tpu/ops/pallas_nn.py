@@ -526,6 +526,7 @@ def _brute_fn(trange: int, with_normals: bool):
         del target
         matched, nrm, dist, _cert = nn_colsweep(
             query, nn_state, resolution=1, slabs=1, trange=trange,
+            first_tie=True,
         )
         if with_normals:
             return matched, dist, nrm
@@ -534,10 +535,27 @@ def _brute_fn(trange: int, with_normals: bool):
     return fn
 
 
-def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
+def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048,
+                     first_tie: bool = False):
     """Kernel factory. Each slab is processed in lane-chunks of ``chunk``
     so the (tile_q × chunk) distance/one-hot working set stays ~2 MB of
     VMEM even for long coarse-grid ranges.
+
+    ``first_tie=False`` (default): the winner's one-hot comes from a
+    d²-equality compare against the chunk min — NO argmin. The cross-lane
+    argmin was the single most expensive phase of the kernel (measured
+    15.4 ms/call at 1M pts vs 1.3 ms for the plain min it replaces).
+    Exactly-tied candidates make the "one-hot" multi-hot; a tie-count
+    column riding the SAME extraction dot (output dim 128-wide — a 19th
+    column is free) detects that, and tied queries simply DECERTIFY
+    (out row 7 ≠ 1): the repair chain resolves them by XLA brute force,
+    which preserves the reference's first-tie order. Real (noisy) data
+    has no exact f32 d² ties; degenerate clouds (duplicated points,
+    symmetric lattices) route through repair and stay exact.
+
+    ``first_tie=True``: the original argmin form — in-kernel first-tie
+    selection for the brute adapter (make_pallas_brute), whose callers
+    use results without certification.
 
     (A per-chunk predicated variant — skip DMA+compute for chunks past the
     slab's end — was measured SLOWER on v5e: 260 ms vs 184 ms at 1M pts,
@@ -569,6 +587,7 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
 
         best_d2 = jnp.full((tile_q,), big, jnp.float32)
         best_xyz = jnp.zeros((tile_q, 6), jnp.float32)
+        best_cnt = jnp.ones((tile_q,), jnp.float32)
 
         for s in range(slabs):
             slot = s % 2
@@ -581,9 +600,6 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
                 # when trange is not a chunk multiple (any 128-multiple
                 # width is lane-legal).
                 w = min(chunk, trange - k * chunk)
-                oh_iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (tile_q, w), 1
-                )
                 c = cand[slot, :, k * chunk : k * chunk + w]  # (8, w)
                 # No row-validity mask: every row in [b, b+trange) is
                 # either a real target point (possibly outside the
@@ -596,8 +612,18 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
                     + (qy[:, None] - c[1, :][None, :]) ** 2
                     + (qz[:, None] - c[2, :][None, :]) ** 2
                 )
-                j = jnp.argmin(d2, axis=1)  # (tile_q,)
                 dmin = jnp.min(d2, axis=1)
+                if first_tie:
+                    j = jnp.argmin(d2, axis=1)  # (tile_q,)
+                    oh_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (tile_q, w), 1
+                    )
+                    onehot = (oh_iota == j[:, None]).astype(jnp.float32)
+                else:
+                    # Equality one-hot: exact because the compare uses the
+                    # very d2 values the min ran over. Multi-hot on exact
+                    # ties — counted below and decertified.
+                    onehot = (d2 == dmin[:, None]).astype(jnp.float32)
                 # Winner coordinates (and, rows 3-5, the winner's normal
                 # when the grid packs normals) via one-hot MXU
                 # contraction — no gather. The contraction must be EXACT
@@ -613,7 +639,6 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
                 # coordinate bit-for-bit at half the HIGHEST cost.
                 # (Precision.HIGH is NOT enough: its 2-term operand
                 # split keeps 16 mantissa bits, ~0.2 mm at local scale.)
-                onehot = (oh_iota == j[:, None]).astype(jnp.float32)
                 c6 = c[0:6, :]
                 c_hi = c6.astype(jnp.bfloat16).astype(jnp.float32)
                 r1 = c6 - c_hi
@@ -622,29 +647,37 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048):
                 # All three terms ride ONE dot: the MXU output dim is 128
                 # wide, so 18 columns costs the same pass as 6 — the
                 # per-dot overhead dominated the extraction (3 dots
-                # measured ~8 ms/call each at 1M pts).
-                c3 = jnp.concatenate([c_hi, c_mid, c_lo], axis=0)  # (18, chunk)
+                # measured ~8 ms/call each at 1M pts). The 19th column
+                # (all-ones → hit count; bf16-exact) is free too.
+                c3 = jnp.concatenate(
+                    [c_hi, c_mid, c_lo, jnp.ones((1, w), jnp.float32)],
+                    axis=0,
+                )  # (19, chunk)
                 ext = jax.lax.dot_general(
                     onehot, c3, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT,
-                )  # (tile_q, 18)
+                )  # (tile_q, 19)
                 coords = ext[:, 0:6] + ext[:, 6:12] + ext[:, 12:18]
                 take = dmin < best_d2
                 best_d2 = jnp.where(take, dmin, best_d2)
                 best_xyz = jnp.where(take[:, None], coords, best_xyz)
+                best_cnt = jnp.where(take, ext[:, 18], best_cnt)
 
         # Single (8, tile_q) output block: rows 0-2 = matched xyz,
-        # rows 3-5 = matched normal (zero unless packed), row 6 = d².
+        # rows 3-5 = matched normal (zero unless packed), row 6 = d²,
+        # row 7 = winning-chunk hit count (1 ⇔ unique winner; first_tie
+        # mode emits exactly 1 by construction).
         out_ref[0, 0:6, :] = best_xyz.T
         out_ref[0, 6, :] = best_d2
+        out_ref[0, 7, :] = best_cnt
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("resolution", "tile_q", "slabs", "trange"),
+    static_argnames=("resolution", "tile_q", "slabs", "trange", "first_tie"),
 )
 def nn_colsweep(
     query: jnp.ndarray,
@@ -654,6 +687,7 @@ def nn_colsweep(
     tile_q: int = 128,
     slabs: int = 6,
     trange: int = 2048,
+    first_tie: bool = False,
 ):
     """Slab-sweep grid 1-NN (Pallas).
 
@@ -760,7 +794,7 @@ def nn_colsweep(
         q32.reshape(t, tile_q, 3).transpose(0, 2, 1)
     )
 
-    kernel = _colsweep_kernel(slabs, trange, tile_q)
+    kernel = _colsweep_kernel(slabs, trange, tile_q, first_tie=first_tie)
 
     def call_kernel(base_part, q_part):
         tp = q_part.shape[0]
@@ -831,10 +865,14 @@ def nn_colsweep(
         )[:t]
 
     d2 = out[:, 6, :].reshape(n)
+    # Row 7 = winning-chunk hit count: ≠ 1 means an exact d² tie, whose
+    # summed "one-hot" extraction is not a target point — decertify so
+    # the repair chain (XLA brute force) resolves it in first-tie order.
+    unique = out[:, 7, :].reshape(n) == 1.0
     dist = jnp.sqrt(jnp.maximum(d2, 0.0)).astype(query.dtype)
     matched = out[:, 0:3, :].transpose(0, 2, 1).reshape(n, 3).astype(query.dtype)
     normal = out[:, 3:6, :].transpose(0, 2, 1).reshape(n, 3).astype(query.dtype)
-    certified = query_complete & (dist <= radius)
+    certified = query_complete & (dist <= radius) & unique
     return matched[:n_in], normal[:n_in], dist[:n_in], certified[:n_in]
 
 

@@ -457,3 +457,42 @@ def test_auto_trange_default_factory_exact():
         np.asarray(dist)[real], d_true[np.asarray(rows)[real]], rtol=1e-5,
         atol=1e-5,
     )
+
+
+def test_exact_tie_decertifies_and_repairs():
+    """Exact f32 d² ties (duplicated target points) make the equality
+    one-hot multi-hot: the tie-count column must DECERTIFY those queries
+    (row-7 contract), and the repair chain must resolve them to the
+    first-tie answer (bruteforce order). first_tie=True (the brute
+    adapter's mode) keeps in-kernel argmin selection instead."""
+    from iterativeclosestpoint_tpu.ops.bruteforce import nn_bruteforce
+    from iterativeclosestpoint_tpu.ops.pallas_nn import nn_colsweep_exact
+
+    rng = np.random.default_rng(8)
+    base = rng.normal(size=(40, 3))
+    tgt = np.repeat(base, 3, axis=0)          # every point triplicated
+    q = base + rng.normal(0, 0.05, base.shape)
+    R = auto_resolution_data(tgt)
+    q = q[morton_order(q, R)]
+    grid = build_pallas_grid(tgt, R)
+    qj = jnp.asarray(q, jnp.float32)
+
+    _, _, _, cert = nn_colsweep(qj, grid, resolution=R)
+    assert not np.asarray(cert).any()          # all tied -> all decertified
+
+    _, _, _, cert_ft = nn_colsweep(qj, grid, resolution=R, first_tie=True)
+    # argmin mode is immune to ties (remaining decerts on this tiny cloud
+    # are ordinary window geometry, not the tie-count column)
+    assert np.asarray(cert_ft).mean() > 0.5
+
+    m, _, d = nn_colsweep_exact(
+        qj, jnp.asarray(tgt, jnp.float32), grid, resolution=R,
+        brute_batch=512, brute_passes=4,
+    )
+    bi, bd = nn_bruteforce(qj, jnp.asarray(tgt, jnp.float32))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(bd), atol=1e-6)
+    # f32 comparison: the grid stores f32 coordinates (extraction is
+    # bit-exact in f32); tgt here is the f64 original.
+    np.testing.assert_array_equal(
+        np.asarray(m), np.asarray(tgt, np.float32)[np.asarray(bi)]
+    )
