@@ -65,6 +65,7 @@ def cmd_run(args) -> int:
                f"{len(sess.source)} / {len(sess.target)} points")
 
     initial = None
+    run_extra = {}
     if args.resume:
         from iterativeclosestpoint_tpu.runtime.checkpoint import (
             load_checkpoint,
@@ -73,9 +74,17 @@ def cmd_run(args) -> int:
 
         ckpt = load_checkpoint(args.resume)
         patch = resume_arguments(ckpt, cfg.max_iterations)
-        initial = patch["initial_transform"]
         cfg.max_iterations = patch["max_iterations"]
-        _print(f"resuming from iteration {ckpt['iteration']}")
+        run_extra["iteration_base"] = ckpt["iteration"]
+        if "resume_carry" in patch and not args.multiscale:
+            # Full convergence carry: continues bit-identically.
+            run_extra["resume_carry"] = patch["resume_carry"]
+            _print(f"resuming from iteration {ckpt['iteration']} "
+                   "(exact convergence carry)")
+        else:
+            # Legacy / multiscale resume: exact pose, reset counters.
+            initial = ckpt["transform"]
+            _print(f"resuming from iteration {ckpt['iteration']}")
 
     from iterativeclosestpoint_tpu.runtime.profiling import trace
 
@@ -86,6 +95,7 @@ def cmd_run(args) -> int:
             checkpoint_path=args.checkpoint,
             initial_transform=initial,
             live_every=args.live_every,
+            **run_extra,
         )
 
     if args.output:

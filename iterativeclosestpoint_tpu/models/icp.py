@@ -27,10 +27,20 @@ Numerical scheme: coordinates are centered on host by an f64 global offset
 the LAS format itself does), and device math runs in f32 by default; the
 recovered transform is re-based to world frame on the way out.
 
-Documented deviation from the reference (SURVEY.md §6.1 quirk 5): on the
-converge path the reference leaves the recorded rotation-angle/translation
-fields uninitialized; we compute them from the recorded (previous)
-cumulative transform.
+Documented deviations from the reference:
+  * (SURVEY.md §6.1 quirk 5) on the converge path the reference leaves
+    the recorded rotation-angle/translation fields uninitialized; we
+    compute them from the recorded (previous) cumulative transform.
+  * the reference transforms the *evolving* source each iteration
+    (icpengine.cpp:371-375, src ← T·src); this driver recomputes the
+    current source from the PRISTINE source and the cumulative transform
+    (src_i = T_cum_i · src_0) every iteration. Identical in exact
+    arithmetic (f64 trajectories agree to ~1e-13), numerically better
+    (no per-apply error accumulation), and it makes the iteration state
+    a pure function of (T_cum, prev_error, no_improve) — so segmented
+    dispatch and checkpoint resume are bit-identical to one long
+    dispatch BY CONSTRUCTION: restarting with a carried T_cum reproduces
+    exactly the source the uninterrupted loop would have computed.
 """
 
 from __future__ import annotations
@@ -86,6 +96,15 @@ class ICPResult:
     history_std_dist: np.ndarray
     history_threshold: np.ndarray
     source_registered: Optional[np.ndarray] = None  # (N,3) world frame
+    # Final convergence carry (prev_error / no_improvement_count locals,
+    # icpengine.cpp:156-157) — with ``transform`` these make a checkpoint
+    # from which ``resume_carry`` continues bit-identically.
+    carry_prev_error: float = 1e10
+    carry_no_improve: int = 0
+    # Local-frame cumulative transform + centering offset (the exact loop
+    # state; None when the run had an initial_transform folded in).
+    carry_transform_local: Optional[np.ndarray] = None
+    center_offset: Optional[np.ndarray] = None
 
     def iteration_records(self):
         """History as a list of dicts (the iterationCompleted payload)."""
@@ -257,7 +276,6 @@ def icp_core_impl(
         c_noimp = c_noimp.astype(jnp.int32)
 
     state = {
-        "src": source,
         "T_cum": c_T,
         "prev_error": c_prev,
         "no_improve": c_noimp,
@@ -281,7 +299,11 @@ def icp_core_impl(
 
     def body(s):
         it = s["iter"]
-        src = s["src"]
+        # Composed apply: current source from the pristine source and the
+        # cumulative transform (see module docstring — this is what makes
+        # segmented dispatch / checkpoint resume bit-identical). The
+        # identity apply (iteration 0, no carry) is rounding-exact.
+        src = apply_transform(s["T_cum"], source)
 
         # nn_fn contract: (query, target, state) -> (matched_points, dist)
         # — plus the matched normals for the point-to-plane estimator.
@@ -343,11 +365,21 @@ def icp_core_impl(
             w = jnp.where(scale > 0, w, 1.0)
             upd_w = valid.astype(f) * w.astype(f)
         if estimator == "plane":
-            T = _plane_global(src, dst_matched, nrm, upd_w, ps)
+            # Point-to-plane is a linearization about the CURRENT pose;
+            # the increment composes onto the cumulative transform.
+            T_inc = _plane_global(src, dst_matched, nrm, upd_w, ps)
+            T_cand = T_inc @ s["T_cum"]
         else:
-            T = _kabsch_global(src, dst_matched, upd_w, ps)
-        T_cum_new = jnp.where(will_update, T @ s["T_cum"], s["T_cum"])
-        src_new = jnp.where(will_update, apply_transform(T, src), src)
+            # Direct cumulative fit: Kabsch from the PRISTINE source to
+            # the matched targets. Because src = T_cum·src0 rigidly, the
+            # minimizer of |T'·src0 − dst|² is exactly T_inc·T_cum where
+            # T_inc is the reference's incremental fit from (src, dst)
+            # (substitute T' = S·T_cum — a bijection over rigid S). Same
+            # math, but the f32 product CHAIN is gone: T_cum is re-fit
+            # from data every iteration instead of accumulating ~50
+            # rounded 4×4 products (which cost ~1e-4 m at UTM scale).
+            T_cand = _kabsch_global(source, dst_matched, upd_w, ps)
+        T_cum_new = jnp.where(will_update, T_cand, s["T_cum"])
 
         # History write: converged records the *previous* cumulative
         # transform (quirk 5); diverged/too_few record nothing.
@@ -364,7 +396,6 @@ def icp_core_impl(
         ).astype(jnp.int32)
 
         return {
-            "src": src_new,
             "T_cum": T_cum_new,
             "prev_error": jnp.where(will_update, rmse, s["prev_error"]),
             "no_improve": no_improve,
@@ -382,7 +413,10 @@ def icp_core_impl(
 
     s = jax.lax.while_loop(cond, body, state)
     stop = jnp.where(s["stop"] == RUNNING, MAX_ITERATIONS, s["stop"])
-    return {**s, "stop": stop}
+    # Final registered source (dead-code-eliminated by XLA when the caller
+    # drops it, e.g. return_registered=False).
+    src_final = apply_transform(s["T_cum"], source)
+    return {**s, "src": src_final, "stop": stop}
 
 
 @functools.partial(
@@ -555,6 +589,7 @@ def _default_nn(
                 source_dev, grid[0].origin, grid[0].cell_size,
                 resolution=resolution,
                 tile_q=getattr(nn_fn, "tile_q", 128),
+                group=getattr(nn_fn, "layout_group", "x"),
             )
             return nn_fn, grid, rows, weight
         nn_fn, grid, resolution = make_pallas_nn(
@@ -581,36 +616,34 @@ _HIST_KEYS = ("h_rmse", "h_valid", "h_out", "h_T", "h_mean", "h_std", "h_thr")
 
 
 def _run_segmented(
-    src_local,
-    tgt_local,
-    nn_state,
+    dispatch,
     offset,
+    f,
     *,
-    weight=None,
-    nn_fn,
     max_iterations,
     segment_iterations,
-    tolerance,
-    sigma_multiplier,
     widen_first,
-    estimator,
-    robust,
     progress_callback,
     stop_event,
+    carry_init=None,
+    segment_callback=None,
 ):
-    """Dispatch the compiled ICP loop in slices of ``segment_iterations``,
-    carrying (src, T_cum, prev_error, no_improve) across dispatches.
+    """Dispatch a compiled ICP core in slices of ``segment_iterations``,
+    carrying (T_cum, prev_error, no_improve) across dispatches.
 
-    The concatenated trajectory is identical to one long dispatch (same
-    compiled body, same carried convergence state machine); between
-    segments the host can emit live per-iteration records (the reference's
-    ``iterationCompleted`` signal, icpengine.cpp:366-367) and honor a
-    cooperative stop flag (the reference checks ``m_shouldStop`` once per
-    iteration, icpengine.cpp:160-164 — segment size is our stop
-    granularity).
+    ``dispatch(carry, seg_n, widen_first)`` runs the compiled loop for
+    ``seg_n`` iterations from ``carry`` and returns the core output dict —
+    the single-device and shard_map paths plug in their own closures. The
+    pristine source lives inside the closure and is passed to EVERY
+    segment unchanged; the loop body recomputes the current source from
+    the carried T_cum (composed apply), so the concatenated trajectory is
+    bit-identical to one long dispatch. Between segments the host can emit
+    live per-iteration records (the reference's ``iterationCompleted``
+    signal, icpengine.cpp:366-367) and honor a cooperative stop flag (the
+    reference checks ``m_shouldStop`` once per iteration,
+    icpengine.cpp:160-164 — segment size is our stop granularity).
     """
-    f = src_local.dtype
-    carry = (
+    carry = carry_init if carry_init is not None else (
         jnp.eye(4, dtype=f),
         jnp.asarray(1e10, f),
         jnp.asarray(0, jnp.int32),
@@ -619,26 +652,21 @@ def _run_segmented(
     total_recorded = 0
     done = 0
     stop = MAX_ITERATIONS
-    src = src_local
+    out = None
     while done < max_iterations:
         seg_n = min(segment_iterations, max_iterations - done)
-        out = _icp_core(
-            src, tgt_local, nn_state, carry, weight,
-            nn_fn=nn_fn, max_iterations=seg_n, tolerance=tolerance,
-            sigma_multiplier=sigma_multiplier,
-            widen_first=(widen_first and done == 0), estimator=estimator,
-            robust=robust,
-        )
+        out = dispatch(carry, seg_n, widen_first and done == 0)
         # One batched async pull for everything the host reads this
         # segment (vs ~9 sequential ~35 ms device-tunnel roundtrips).
         host = jax.device_get(
             {**{key: out[key] for key in _HIST_KEYS},
-             "recorded": out["recorded"], "stop": out["stop"]}
+             "recorded": out["recorded"], "stop": out["stop"],
+             "T_cum": out["T_cum"], "prev_error": out["prev_error"],
+             "no_improve": out["no_improve"]}
         )
         k = int(host["recorded"])
         for key in _HIST_KEYS:
             parts[key].append(host[key][:k])
-        src = out["src"]
         carry = (out["T_cum"], out["prev_error"], out["no_improve"])
         seg_stop = int(host["stop"])
 
@@ -664,6 +692,24 @@ def _run_segmented(
                 )
         total_recorded += k
         done += seg_n
+        if segment_callback is not None:
+            # Segment-boundary resumable state: the exact loop carry (the
+            # reference's prev_error/no_improvement_count locals,
+            # icpengine.cpp:156-157) in world frame — feeding it back via
+            # ``resume_carry`` continues bit-identically.
+            segment_callback(
+                {
+                    "iteration": total_recorded,
+                    "transform": _rebase_transform(host["T_cum"], offset),
+                    # Local-frame carry: the world rebase round-trips
+                    # through catastrophic cancellation at UTM scale, so
+                    # bit-identical resume re-enters through these.
+                    "transform_local": np.asarray(host["T_cum"]),
+                    "offset": np.asarray(offset, np.float64),
+                    "prev_error": float(host["prev_error"]),
+                    "no_improve": int(host["no_improve"]),
+                }
+            )
         if seg_stop != MAX_ITERATIONS:
             stop = seg_stop
             break
@@ -672,7 +718,7 @@ def _run_segmented(
             break
 
     return {
-        "src": src,
+        "src": out["src"],
         "T_cum": carry[0],
         "prev_error": carry[1],
         "no_improve": carry[2],
@@ -710,9 +756,10 @@ def apply_permutation(
     return res
 
 
-@functools.partial(jax.jit, static_argnames=("resolution", "tile_q"))
+@functools.partial(jax.jit, static_argnames=("resolution", "tile_q",
+                                              "group"))
 def _prep_fine_source(src_raw, T_loc, origin, cell_size, *, resolution,
-                      tile_q=128):
+                      tile_q=128, group="x"):
     """One-dispatch fine-level source prep: apply the (local-frame) initial
     transform on device, build the x-group-aligned query layout, gather.
 
@@ -724,7 +771,8 @@ def _prep_fine_source(src_raw, T_loc, origin, cell_size, *, resolution,
 
     src = apply_transform(T_loc, src_raw)
     rows, weight = grouped_tile_order_device(
-        src, origin, cell_size, resolution=resolution, tile_q=tile_q
+        src, origin, cell_size, resolution=resolution, tile_q=tile_q,
+        group=group,
     )
     return src[rows], rows, weight
 
@@ -753,6 +801,8 @@ def icp_register(
     stop_event=None,
     device_data=None,
     prepared_nn=None,
+    resume_carry: Optional[tuple] = None,
+    segment_callback: Optional[Callable] = None,
 ) -> ICPResult:
     """Register ``source`` onto ``target``; returns world-frame results.
 
@@ -770,6 +820,20 @@ def icp_register(
     cooperative stop with segment granularity — registrationservice
     stopRegistration equivalent).
 
+    ``resume_carry`` = (T_world (4,4), prev_error, no_improve) — the
+    convergence carry from a segment-boundary checkpoint
+    (runtime/checkpoint.py). The loop starts from this exact state
+    instead of identity/1e10/0, and because the body recomputes the
+    source from the pristine source via the cumulative transform
+    (composed apply), the continued trajectory is bit-identical to the
+    uninterrupted run. First-iteration threshold widening is already
+    spent, so it is disabled on resume. Mutually exclusive with
+    ``initial_transform`` (which restarts the convergence machine).
+
+    ``segment_callback`` (requires ``segment_iterations`` > 0) fires at
+    every segment boundary with the resumable state
+    {iteration, transform, prev_error, no_improve} — the checkpoint hook.
+
     ``device_data`` = (src_dev, tgt_dev, offset): pre-centered f32 device
     arrays (centered by ``offset``) whose uploads the caller started
     earlier — the multiscale pipeline overlaps them with its coarse pass.
@@ -782,6 +846,10 @@ def icp_register(
     target = np.asarray(target, np.float64)
     T_init = None
     if initial_transform is not None:
+        if resume_carry is not None:
+            raise ValueError(
+                "initial_transform and resume_carry are mutually exclusive"
+            )
         T_init = np.asarray(initial_transform, np.float64)
         if device_data is None:
             source = source @ T_init[:3, :3].T + T_init[:3, 3]
@@ -834,6 +902,7 @@ def icp_register(
             src_local, jnp.asarray(T_loc, dtype), grid0.origin,
             grid0.cell_size, resolution=resolution,
             tile_q=getattr(nn_fn, "tile_q", 128),
+            group=getattr(nn_fn, "layout_group", "x"),
         )
         layout_applied = True  # _prep_fine_source already gathered
     elif nn_fn is None:
@@ -856,6 +925,58 @@ def icp_register(
         jnp.asarray(row_weight, dtype) if row_weight is not None else None
     )
 
+    if T_init is not None:
+        # The loop's T_cum is relative to the pre-aligned source; live
+        # records must report the full world transform (the final
+        # packaging composes T_init below — the callbacks must too).
+        def _compose(cb):
+            if cb is None:
+                return None
+
+            def wrapped(rec):
+                # Drop the local-frame carry keys: they do not include
+                # T_init, so a resume through them would lose it — the
+                # (composed) world transform is the correct resume path.
+                rec = {k: v for k, v in rec.items()
+                       if k not in ("transform_local", "offset")}
+                rec["transform"] = rec["transform"] @ T_init
+                cb(rec)
+
+            return wrapped
+
+        progress_callback = _compose(progress_callback)
+        segment_callback = _compose(segment_callback)
+
+    carry = None
+    widen = mode == "gui"
+    if resume_carry is not None:
+        if isinstance(resume_carry, dict):
+            T_w = resume_carry["transform"]
+            pe = resume_carry["prev_error"]
+            ni = resume_carry["no_improve"]
+            T_l = resume_carry.get("transform_local")
+            ck_off = resume_carry.get("offset")
+        else:
+            T_w, pe, ni = resume_carry
+            T_l = ck_off = None
+        if (
+            T_l is not None
+            and ck_off is not None
+            and np.array_equal(np.asarray(ck_off, np.float64), offset)
+        ):
+            # Same centering frame: re-enter through the exact local
+            # matrix (bit-identical — the world rebase round-trips
+            # through catastrophic cancellation at UTM scale).
+            T_loc = np.asarray(T_l, np.float64)
+        else:
+            T_loc = _rebase_transform(np.asarray(T_w, np.float64), -offset)
+        carry = (
+            jnp.asarray(T_loc, dtype),
+            jnp.asarray(pe, dtype),
+            jnp.asarray(int(ni), jnp.int32),
+        )
+        widen = False  # the run's first iteration is long past
+
     if not segment_iterations and n_orig >= 2_000_000:
         # Auto-segment very large runs: a single fused while-loop program
         # over 10M points can run minutes on device when iterations go
@@ -866,26 +987,34 @@ def icp_register(
         # trajectory is identical (same compiled body, carried state).
         segment_iterations = max(2, int(8_000_000 // max(n_orig, 1)))
     if segment_iterations and segment_iterations > 0:
+        def dispatch(carry_, seg_n, widen_):
+            return _icp_core(
+                src_local, tgt_local, nn_state, carry_, weight_dev,
+                nn_fn=nn_fn, max_iterations=seg_n, tolerance=tolerance,
+                sigma_multiplier=sigma_multiplier, widen_first=widen_,
+                estimator=estimator, robust=robust,
+            )
+
         out = _run_segmented(
-            src_local, tgt_local, nn_state, offset, weight=weight_dev,
-            nn_fn=nn_fn, max_iterations=max_iterations,
-            segment_iterations=segment_iterations, tolerance=tolerance,
-            sigma_multiplier=sigma_multiplier,
-            widen_first=(mode == "gui"), estimator=estimator,
-            robust=robust,
+            dispatch, offset, src_local.dtype,
+            max_iterations=max_iterations,
+            segment_iterations=segment_iterations,
+            widen_first=widen,
             progress_callback=progress_callback, stop_event=stop_event,
+            carry_init=carry, segment_callback=segment_callback,
         )
     else:
         out = _icp_core(
             src_local,
             tgt_local,
             nn_state,
+            carry,
             weight=weight_dev,
             nn_fn=nn_fn,
             max_iterations=max_iterations,
             tolerance=tolerance,
             sigma_multiplier=sigma_multiplier,
-            widen_first=(mode == "gui"),
+            widen_first=widen,
             estimator=estimator,
             robust=robust,
         )
@@ -899,6 +1028,10 @@ def icp_register(
     if T_init is not None:
         res.transform = res.transform @ T_init
         res.history_transform = res.history_transform @ T_init
+        # The local carry does not include T_init — a resume through it
+        # would lose the pre-alignment; force the world-transform path.
+        res.carry_transform_local = None
+        res.center_offset = None
     return res
 
 
@@ -956,4 +1089,8 @@ def package_result(out, offset, return_registered: bool = True) -> ICPResult:
             if return_registered
             else None
         ),
+        carry_prev_error=float(out["prev_error"]),
+        carry_no_improve=int(out["no_improve"]),
+        carry_transform_local=np.asarray(out["T_cum"]),
+        center_offset=np.asarray(offset, np.float64),
     )

@@ -161,6 +161,9 @@ def icp_register_multiscale(
                 if T is not None:
                     res.transform = res.transform @ T
                     res.history_transform = res.history_transform @ T
+                    # Local carry misses the composed-in coarse transform.
+                    res.carry_transform_local = None
+                    res.center_offset = None
             else:
                 res = icp_register(
                     source, target, dtype=dtype, initial_transform=T,

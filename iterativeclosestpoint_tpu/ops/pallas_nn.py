@@ -71,6 +71,17 @@ class PallasGrid(NamedTuple):
     cell_size: jnp.ndarray   # ()
 
 
+class ZPallasGrid(NamedTuple):
+    """Grid for the z-window COLUMN sweep (volume regime): same sorted
+    layout as PallasGrid but with the full R³ CSR, so a tile can DMA just
+    the z-window of each (x, y) column instead of whole columns."""
+
+    tgt_t: jnp.ndarray       # (8, M + zrange) cell-sorted, transposed
+    cell_start: jnp.ndarray  # (R³+1,) CSR offsets at CELL granularity
+    origin: jnp.ndarray      # (3,)
+    cell_size: jnp.ndarray   # ()
+
+
 def build_pallas_grid(
     target: np.ndarray, resolution: int, trange: int = 2048, dtype=np.float32,
     normals: "np.ndarray | None" = None,
@@ -247,6 +258,50 @@ def auto_trange(
     return cap
 
 
+_ZRANGE_LADDER = (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
+
+
+def auto_zrange(
+    target: np.ndarray,
+    resolution: int,
+    z_window: int = 5,
+    floor: int = 256,
+    cap: int = 4096,
+) -> int:
+    """Data-adaptive z-window row budget for the column kernel
+    (``nn_colsweep_z``) — the z-axis analog of ``auto_trange``:
+    mass-weighted p99.9 of per-(x,y)-column ``z_window``-consecutive-cell
+    count sums, with a 4/3 margin for mid-loop layout aging, quantized up
+    onto a compile-reuse ladder."""
+    target = np.asarray(target)
+    R = resolution
+    tmin = target.min(axis=0)
+    extent = float((target.max(axis=0) - tmin).max()) or 1.0
+    cell = max(extent / R, 1e-9)
+    stride = max(1, len(target) // _AUTO_TRANGE_SAMPLE_CAP)
+    sampled = target[::stride]
+    c = np.clip(((sampled - tmin) / cell).astype(np.int64), 0, R - 1)
+    cid = (c[:, 0] * R + c[:, 1]) * R + c[:, 2]
+    counts = (np.bincount(cid, minlength=R**3) * stride).reshape(R * R, R)
+    cs = np.concatenate(
+        [np.zeros((R * R, 1), np.int64), np.cumsum(counts, axis=1)], axis=1
+    )
+    w = max(min(z_window, R), 1)
+    win = (cs[:, w:] - cs[:, :-w]).reshape(-1)
+    mass = win.astype(np.float64)
+    total = mass.sum()
+    if total <= 0:
+        return floor
+    order = np.argsort(win)
+    cdf = np.cumsum(mass[order]) / total
+    p999 = int(win[order][np.searchsorted(cdf, 0.999)])
+    zr = int(np.clip(int(p999 * 4 / 3), floor, cap))
+    for step in _ZRANGE_LADDER:
+        if zr <= step:
+            return step
+    return cap
+
+
 # ---------------------------------------------------------------------------
 # Device-side factory. The host builds above exist for CPU-testable
 # reference behavior and the normals (point-to-plane) path; the driver's
@@ -258,21 +313,30 @@ def auto_trange(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("resolution", "trange"))
+@functools.partial(jax.jit, static_argnames=("resolution", "trange",
+                                              "mask_far"))
 def _build_grid_dev(target, origin, cell_size, *, resolution: int,
-                    trange: int, normals=None):
+                    trange: int, normals=None, mask_far: bool = False):
     """On-device equivalent of ``build_pallas_grid``.
 
     Same CSR layout and _FAR padding; jnp.argsort is stable like the
     host's kind="stable", so tie order within a cell matches bit-for-bit.
     With ``normals`` (M,3), rows 3-5 carry the per-point normals (the
-    kernel extracts the winner's normal for free — point-to-plane)."""
+    kernel extracts the winner's normal for free — point-to-plane).
+
+    ``mask_far=True`` treats input rows at the _FAR padding coordinate as
+    non-points: they sort AFTER every real cell (cell id R³) so they pad
+    the tail like the trange rows instead of polluting the corner cell's
+    CSR ranges. Used by the partitioned-target path, whose fixed-shape
+    per-device slabs are _FAR-padded on host (parallel/partition.py)."""
     R = resolution
     tgt = target.astype(jnp.float32)
     org = origin.astype(jnp.float32)
     cs = cell_size.astype(jnp.float32)
     coords = jnp.clip(((tgt - org[None, :]) / cs).astype(jnp.int32), 0, R - 1)
     cid = (coords[:, 0] * R + coords[:, 1]) * R + coords[:, 2]
+    if mask_far:
+        cid = jnp.where(tgt[:, 0] >= _FAR * 0.5, R * R * R, cid)
     # Multi-operand stable sort carries the coordinate (and normal)
     # columns as payloads — the argsort formulation costs two extra
     # 1M-row gathers afterwards (cid[order], tgt[order]) at ~30 ns/row.
@@ -329,36 +393,69 @@ def _build_grids_dev(
     return fine, coarse
 
 
-@functools.partial(jax.jit, static_argnames=("resolution", "tile_q"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "resolution", "zrange", "coarse_resolution", "coarse_trange",
+    ),
+)
+def _build_zgrids_dev(
+    target_dev, origin, cell, cell_c, normals=None, *,
+    resolution: int, zrange: int, coarse_resolution: int, coarse_trange: int,
+):
+    """Z-column fine grid + x-sweep coarse repair grid, one dispatch."""
+    fine = _build_zgrid_dev(
+        target_dev, origin, cell, resolution=resolution, zrange=zrange,
+        normals=normals,
+    )
+    coarse = _build_grid_dev(
+        target_dev, origin, cell_c, resolution=coarse_resolution,
+        trange=coarse_trange, normals=normals,
+    )
+    return fine, coarse
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "tile_q",
+                                              "group"))
 def grouped_tile_order_device(
-    query, origin, cell_size, *, resolution: int, tile_q: int = 128
+    query, origin, cell_size, *, resolution: int, tile_q: int = 128,
+    group: str = "x",
 ):
     """On-device ``grouped_tile_order`` with a static output length.
 
     The host version's output length is data-dependent (sum of per-group
     pads); under jit the layout is instead built at the worst-case static
-    length ``n`` + R·(tile_q−1) rounded up to a tile multiple, as a pure
-    gather (no scatters): output row j belongs to x-group g =
+    length ``n`` + G·(tile_q−1) rounded up to a tile multiple, as a pure
+    gather (no scatters): output row j belongs to group g =
     searchsorted(out_end, j); its in-group offset r indexes the group's
     real run when r < count, else replicates the group's last real row.
     Rows past the last group's pad replicate one real query with weight 0
     (a singleton-bbox tile — certifies trivially, costs one slab).
+
+    ``group``: "x" aligns tiles to x-cell groups (G=R — the slab-sweep
+    kernel's requirement); "xy" aligns to (x,y)-cell pairs (G=R² — the
+    z-window column kernel's requirement: a tile then spans ONE column at
+    build time, so its z-span stays a few cells). "xy" is meant for the
+    volume regime's small resolutions — its worst-case padding grows
+    with R².
     """
     n = query.shape[0]
     R = resolution
-    total = -(-(n + R * (tile_q - 1)) // tile_q) * tile_q
+    G = R if group == "x" else R * R
+    total = -(-(n + G * (tile_q - 1)) // tile_q) * tile_q
     q = query.astype(jnp.float32)
     org = origin.astype(jnp.float32)
     cs = cell_size.astype(jnp.float32)
     c = jnp.clip(((q - org[None, :]) / cs).astype(jnp.int32), 0, R - 1)
     cid = (c[:, 0] * R + c[:, 1]) * R + c[:, 2]
-    # One stable sort carrying (row index, x cell) as payloads — the
-    # argsort + xc-gather formulation pays an extra ~30 ns/row gather.
+    gq = c[:, 0] if group == "x" else c[:, 0] * R + c[:, 1]
+    # One stable sort carrying (row index, group id) as payloads — the
+    # argsort + gather formulation pays an extra ~30 ns/row gather.
     _, order, xc = jax.lax.sort(
-        [cid, jnp.arange(n, dtype=jnp.int32), c[:, 0]],
+        [cid, jnp.arange(n, dtype=jnp.int32), gq],
         dimension=0, num_keys=1, is_stable=True,
-    )  # xc sorted (cid is x-major)
-    bounds = jnp.searchsorted(xc, jnp.arange(R + 1, dtype=jnp.int32))
+    )  # xc sorted (cid is x-major, then y)
+    bounds = jnp.searchsorted(xc, jnp.arange(G + 1, dtype=jnp.int32))
     counts = bounds[1:] - bounds[:-1]
     in_base = bounds[:-1]
     n_pad_g = ((counts + tile_q - 1) // tile_q) * tile_q
@@ -372,10 +469,10 @@ def grouped_tile_order_device(
     g = jnp.sum(
         j[:, None] >= out_end[None, :].astype(jnp.int32), axis=1
     ).astype(jnp.int32)
-    g_cl = jnp.clip(g, 0, R - 1)
+    g_cl = jnp.clip(g, 0, G - 1)
     r = j - out_base[g_cl]
     cnt = counts[g_cl]
-    real = (g < R) & (r < cnt)
+    real = (g < G) & (r < cnt)
     idx = in_base[g_cl] + jnp.minimum(r, jnp.maximum(cnt - 1, 0))
     rows = order[jnp.clip(idx, 0, n - 1)].astype(jnp.int32)
     weight = real.astype(jnp.float32)
@@ -390,6 +487,7 @@ def make_pallas_nn_device(
     target_dev=None,
     tile_q: int = 128,
     with_normals: bool = False,
+    kernel: str = "auto",
 ):
     """Device-built twin of ``make_pallas_nn``.
 
@@ -431,8 +529,22 @@ def make_pallas_nn_device(
     target_local = np.asarray(target_local)
     if resolution is None:
         resolution = auto_resolution_data(target_local)
-    if trange is None:
-        trange = auto_trange(target_local, resolution)
+    trange_est = (
+        trange if trange is not None
+        else auto_trange(target_local, resolution)
+    )
+    # Kernel regime selection: the x-slab sweep is shaped for scan
+    # surfaces (z ≈ f(x,y) — full-z columns are nearly all window). When
+    # the data-adaptive slab range blows past the surface regime (volume
+    # clouds: full-z columns sweep 4-16x too many rows), switch to the
+    # z-window column kernel, whose per-(x,y) short DMAs track the tile's
+    # own z-span through the full R³ CSR.
+    if kernel == "auto":
+        kernel = "zcol" if (trange is None and trange_est >= 4096
+                            and resolution <= 128) else "sweep"
+    trange = trange_est
+    if kernel == "zcol":
+        zrange = auto_zrange(target_local, resolution)
     tmin = target_local.min(axis=0)
     tmax = target_local.max(axis=0)
     if target_dev is None:
@@ -456,17 +568,31 @@ def make_pallas_nn_device(
     # Both levels in ONE jitted dispatch: fuses the elementwise prep and
     # halves the dispatch round-trips (measured 11.1 ms fused vs 16.4 ms
     # as two eager builds at 1M points).
-    grid, coarse = _build_grids_dev(
-        target_dev,
-        jnp.asarray(tmin, jnp.float32),
-        jnp.asarray(max(ext / resolution, 1e-9), jnp.float32),
-        jnp.asarray(max(ext / coarse_resolution, 1e-9), jnp.float32),
-        normals_dev,
-        resolution=resolution,
-        trange=trange,
-        coarse_resolution=coarse_resolution,
-        coarse_trange=coarse_trange,
-    )
+    if kernel == "zcol":
+        grid, coarse = _build_zgrids_dev(
+            target_dev,
+            jnp.asarray(tmin, jnp.float32),
+            jnp.asarray(max(ext / resolution, 1e-9), jnp.float32),
+            jnp.asarray(max(ext / coarse_resolution, 1e-9), jnp.float32),
+            normals_dev,
+            resolution=resolution,
+            zrange=zrange,
+            coarse_resolution=coarse_resolution,
+            coarse_trange=coarse_trange,
+        )
+        trange = zrange  # the exact chain reuses trange as the z budget
+    else:
+        grid, coarse = _build_grids_dev(
+            target_dev,
+            jnp.asarray(tmin, jnp.float32),
+            jnp.asarray(max(ext / resolution, 1e-9), jnp.float32),
+            jnp.asarray(max(ext / coarse_resolution, 1e-9), jnp.float32),
+            normals_dev,
+            resolution=resolution,
+            trange=trange,
+            coarse_resolution=coarse_resolution,
+            coarse_trange=coarse_trange,
+        )
     global_fallback = len(target_local) <= 300_000
     state = (
         grid, coarse,
@@ -475,7 +601,7 @@ def make_pallas_nn_device(
     return (
         _pallas_fn(resolution, coarse_resolution, trange, coarse_trange,
                    global_fallback, with_normals, slabs=slabs,
-                   tile_q=tile_q),
+                   tile_q=tile_q, fine=kernel),
         state,
         resolution,
     )
@@ -675,6 +801,92 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048,
     return kernel
 
 
+def _sweep_kernel_call(base, q32, tgt_t, *, slabs: int, trange: int,
+                       tile_q: int, first_tie: bool):
+    """Shared kernel invocation for the sweep variants.
+
+    ``base``: (t, slabs) int32 HBM row bases (128-aligned, clamped);
+    ``q32``: (t·tile_q, 3) f32 queries. Returns (t, 8, tile_q) f32 —
+    rows 0-5 winner xyz+normal, row 6 d², row 7 winning-chunk hit count.
+    """
+    t = base.shape[0]
+    # Queries transposed per tile for the kernel: (t, 8, tile_q) with the
+    # coordinate rows in 0-2 (sublane dim padded to 8 for TPU tiling).
+    q_tiles = jnp.zeros((t, 8, tile_q), jnp.float32)
+    q_tiles = q_tiles.at[:, 0:3, :].set(
+        q32.reshape(t, tile_q, 3).transpose(0, 2, 1)
+    )
+
+    kernel = _colsweep_kernel(slabs, trange, tile_q, first_tie=first_tie)
+
+    def call_kernel(base_part, q_part):
+        tp = q_part.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(tp,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 8, tile_q), lambda i, *refs: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 8, tile_q), lambda i, *refs: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, trange), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        (o,) = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((tp, 8, tile_q), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=9 * tp * slabs * tile_q * trange,
+                bytes_accessed=tp * slabs * trange * 12,
+                transcendentals=0,
+            ),
+            # CPU test environments run the TPU kernel in interpreter mode.
+            interpret=(jax.default_backend() != "tpu"),
+        )(base_part.reshape(-1), q_part, tgt_t)
+        return o
+
+    # The scalar-prefetch base table lives in SMEM (1 MB): t·slabs int32
+    # overflows it past ~49k tiles (≈6.3M queries at tile_q=128). Split
+    # the tile axis into equal parts that fit — identical part shapes
+    # reuse one kernel compile; each part is still tens of thousands of
+    # grid steps, so the split costs nothing.
+    t_cap = max((_SMEM_PREFETCH_BUDGET // 4) // slabs, 1)
+    if t <= t_cap:
+        return call_kernel(base, q_tiles)
+    parts = -(-t // t_cap)
+    t_part = -(-t // parts)
+    pad_t = parts * t_part - t
+    if pad_t:
+        base = jnp.concatenate(
+            [base, jnp.broadcast_to(base[-1:], (pad_t, slabs))], axis=0
+        )
+        q_tiles = jnp.concatenate(
+            [q_tiles, jnp.broadcast_to(q_tiles[-1:], (pad_t, 8, tile_q))],
+            axis=0,
+        )
+    return jnp.concatenate(
+        [
+            call_kernel(
+                base[p * t_part:(p + 1) * t_part],
+                q_tiles[p * t_part:(p + 1) * t_part],
+            )
+            for p in range(parts)
+        ],
+        axis=0,
+    )[:t]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("resolution", "tile_q", "slabs", "trange", "first_tie"),
@@ -787,82 +999,10 @@ def nn_colsweep(
     base = jnp.minimum(start, m_rows - trange).astype(jnp.int32)
     base = (base // 128) * 128
 
-    # Queries transposed per tile for the kernel: (t, 8, tile_q) with the
-    # coordinate rows in 0-2 (sublane dim padded to 8 for TPU tiling).
-    q_tiles = jnp.zeros((t, 8, tile_q), jnp.float32)
-    q_tiles = q_tiles.at[:, 0:3, :].set(
-        q32.reshape(t, tile_q, 3).transpose(0, 2, 1)
+    out = _sweep_kernel_call(
+        base, q32, grid.tgt_t, slabs=slabs, trange=trange, tile_q=tile_q,
+        first_tie=first_tie,
     )
-
-    kernel = _colsweep_kernel(slabs, trange, tile_q, first_tie=first_tie)
-
-    def call_kernel(base_part, q_part):
-        tp = q_part.shape[0]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(tp,),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 8, tile_q), lambda i, *refs: (i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (1, 8, tile_q), lambda i, *refs: (i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((2, 8, trange), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        )
-        (o,) = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((tp, 8, tile_q), jnp.float32)],
-            cost_estimate=pl.CostEstimate(
-                flops=9 * tp * slabs * tile_q * trange,
-                bytes_accessed=tp * slabs * trange * 12,
-                transcendentals=0,
-            ),
-            # CPU test environments run the TPU kernel in interpreter mode.
-            interpret=(jax.default_backend() != "tpu"),
-        )(base_part.reshape(-1), q_part, grid.tgt_t)
-        return o
-
-    # The scalar-prefetch base table lives in SMEM (1 MB): t·slabs int32
-    # overflows it past ~49k tiles (≈6.3M queries at tile_q=128). Split
-    # the tile axis into equal parts that fit — identical part shapes
-    # reuse one kernel compile; each part is still tens of thousands of
-    # grid steps, so the split costs nothing.
-    t_cap = max((_SMEM_PREFETCH_BUDGET // 4) // slabs, 1)
-    if t <= t_cap:
-        out = call_kernel(base, q_tiles)
-    else:
-        parts = -(-t // t_cap)
-        t_part = -(-t // parts)
-        pad_t = parts * t_part - t
-        if pad_t:
-            base = jnp.concatenate(
-                [base, jnp.broadcast_to(base[-1:], (pad_t, slabs))], axis=0
-            )
-            q_tiles = jnp.concatenate(
-                [q_tiles, jnp.broadcast_to(q_tiles[-1:], (pad_t, 8, tile_q))],
-                axis=0,
-            )
-        out = jnp.concatenate(
-            [
-                call_kernel(
-                    base[p * t_part:(p + 1) * t_part],
-                    q_tiles[p * t_part:(p + 1) * t_part],
-                )
-                for p in range(parts)
-            ],
-            axis=0,
-        )[:t]
 
     d2 = out[:, 6, :].reshape(n)
     # Row 7 = winning-chunk hit count: ≠ 1 means an exact d² tie, whose
@@ -876,18 +1016,189 @@ def nn_colsweep(
     return matched[:n_in], normal[:n_in], dist[:n_in], certified[:n_in]
 
 
+@functools.partial(jax.jit, static_argnames=("resolution", "zrange",
+                                              "mask_far"))
+def _build_zgrid_dev(target, origin, cell_size, *, resolution: int,
+                     zrange: int, normals=None, mask_far: bool = False):
+    """On-device ZPallasGrid build (volume regime).
+
+    Same stable cell sort as ``_build_grid_dev`` but with the FULL R³ CSR
+    so the column kernel can address per-(x,y,z-window) runs. The CSR
+    comes from a scatter-add bincount + cumsum rather than an R³+1
+    searchsorted — the binary-search row gathers were 40 of 43 ms of the
+    round-1 grid build at R=64; the bincount form is one O(N) scatter and
+    an O(R³) cumsum. Only sensible at the volume regime's small R.
+    """
+    R = resolution
+    tgt = target.astype(jnp.float32)
+    org = origin.astype(jnp.float32)
+    cs = cell_size.astype(jnp.float32)
+    coords = jnp.clip(((tgt - org[None, :]) / cs).astype(jnp.int32), 0, R - 1)
+    cid = (coords[:, 0] * R + coords[:, 1]) * R + coords[:, 2]
+    if mask_far:
+        cid = jnp.where(tgt[:, 0] >= _FAR * 0.5, R * R * R, cid)
+
+    ops = [cid, tgt[:, 0], tgt[:, 1], tgt[:, 2]]
+    if normals is not None:
+        nf = normals.astype(jnp.float32)
+        ops += [nf[:, 0], nf[:, 1], nf[:, 2]]
+    sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=True)
+
+    cnts = jnp.zeros(R**3 + 2, jnp.int32).at[
+        jnp.minimum(cid, R**3) + 1
+    ].add(1)
+    cell_start = jnp.cumsum(cnts)[: R**3 + 1].astype(jnp.int32)
+
+    top = jnp.concatenate(
+        [jnp.stack(sorted_ops[1:4]),
+         jnp.full((3, zrange), _FAR, jnp.float32)], axis=1
+    )
+    m = tgt.shape[0]
+    if normals is not None:
+        nrows = jnp.concatenate(
+            [jnp.stack(sorted_ops[4:7]),
+             jnp.zeros((3, zrange), jnp.float32)], axis=1
+        )
+        tt = jnp.concatenate(
+            [top, nrows, jnp.full((2, m + zrange), _FAR, jnp.float32)],
+            axis=0,
+        )
+    else:
+        tt = jnp.concatenate(
+            [top, jnp.full((5, m + zrange), _FAR, jnp.float32)], axis=0
+        )
+    return ZPallasGrid(tgt_t=tt, cell_start=cell_start, origin=org,
+                       cell_size=cs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("resolution", "tile_q", "xy_slots", "zrange",
+                     "first_tie"),
+)
+def nn_colsweep_z(
+    query: jnp.ndarray,
+    grid: ZPallasGrid,
+    *,
+    resolution: int,
+    tile_q: int = 128,
+    xy_slots: int = 12,
+    zrange: int = 512,
+    first_tie: bool = False,
+):
+    """Z-window COLUMN sweep (Pallas) — the volume-regime 1-NN kernel.
+
+    The x-slab sweep (``nn_colsweep``) reads each slab's FULL z column,
+    which is the right shape for scan surfaces (z nearly a function of
+    x,y) but sweeps ~4-16× too many rows on volumetric clouds. Here the
+    query layout aligns tiles to (x,y)-cell GROUPS
+    (``grouped_tile_order_device(group="xy")``), so a tile's z-span is a
+    few cells, and each kernel program DMAs only the z-window
+    [minz-1, maxz+1] of every (x,y) column in the dilated window
+    [minx-1, maxx+1] × [miny-1, maxy+1] — up to ``xy_slots`` short
+    (8, zrange) copies addressed through the full R³ CSR.
+
+    Same kernel body, same no-row-mask superset argument (a DMA may run
+    past its column's window into the next column's rows — those are real
+    target points or _FAR pad), same equality-one-hot extraction and tie
+    decertification as ``nn_colsweep``. A tile whose dilated window needs
+    more than ``xy_slots`` columns (source drift) or whose columns exceed
+    ``zrange`` decertifies into the shared repair chain — exactness is
+    identical.
+
+    Returns (matched (N,3), normal (N,3), dist (N,), certified (N,)).
+    """
+    R = resolution
+    n_in = query.shape[0]
+    n = -(-n_in // tile_q) * tile_q
+    if n != n_in:
+        query = jnp.concatenate(
+            [query, jnp.broadcast_to(query[-1], (n - n_in, 3))], axis=0
+        )
+    t = n // tile_q
+    m_rows = grid.tgt_t.shape[1]
+
+    q32 = query.astype(jnp.float32)
+    cs = grid.cell_size.astype(jnp.float32)
+    org = grid.origin.astype(jnp.float32)
+    qc_f = (q32 - org) / cs
+    qcell = jnp.clip(jnp.floor(qc_f).astype(jnp.int32), 0, R - 1)
+
+    qc_t = qcell.reshape(t, tile_q, 3)
+    minc = jnp.min(qc_t, axis=1)  # (t, 3)
+    maxc = jnp.max(qc_t, axis=1)
+
+    lo = jnp.clip(minc - 1, 0, R - 1)  # (t, 3) window low cells
+    hi = jnp.clip(maxc + 1, 0, R - 1)
+    nx = hi[:, 0] - lo[:, 0] + 1
+    ny = hi[:, 1] - lo[:, 1] + 1
+
+    # Slot k → (dx, dy) in the tile's dynamic nx×ny column window.
+    k = jnp.arange(xy_slots, dtype=jnp.int32)[None, :]
+    ny_c = jnp.maximum(ny, 1)[:, None]
+    dx = k // ny_c
+    dy = k % ny_c
+    in_win = dx < nx[:, None]
+    xs = jnp.clip(lo[:, 0:1] + dx, 0, R - 1)
+    ys = jnp.clip(lo[:, 1:2] + dy, 0, R - 1)
+    col = (xs * R + ys) * R
+    start = grid.cell_start[col + lo[:, 2:3]]
+    end = grid.cell_start[col + hi[:, 2:3] + 1]
+    start = jnp.where(in_win, start, 0)
+    end = jnp.where(in_win, end, 0)
+
+    # Fit: every window column's rows within the zrange budget (128 rows
+    # of alignment slack), and the window itself within the slot budget.
+    col_fit = (end - start) <= zrange - 128
+    tile_ok = jnp.all(col_fit, axis=1) & (nx * ny <= xy_slots)  # (t,)
+
+    # Certificate radius: distance to the covered window's edge in all
+    # three dims (grid-boundary edges are infinite — nothing beyond).
+    pq = (q32 - org[None, :]).reshape(t, tile_q, 3)
+    inf = jnp.asarray(jnp.inf, jnp.float32)
+    rs = []
+    for a in range(3):
+        lo_c = minc[:, a:a + 1]
+        hi_c = maxc[:, a:a + 1]
+        r_lo = jnp.where(lo_c <= 1, inf, pq[..., a] - (lo_c - 1) * cs)
+        r_hi = jnp.where(hi_c >= R - 2, inf, (hi_c + 2) * cs - pq[..., a])
+        rs.append(jnp.minimum(r_lo, r_hi))
+    radius = jnp.minimum(jnp.minimum(rs[0], rs[1]), rs[2]).reshape(n)
+
+    base = jnp.minimum(start, m_rows - zrange).astype(jnp.int32)
+    base = (base // 128) * 128
+
+    out = _sweep_kernel_call(
+        base, q32, grid.tgt_t, slabs=xy_slots, trange=zrange,
+        tile_q=tile_q, first_tie=first_tie,
+    )
+
+    d2 = out[:, 6, :].reshape(n)
+    unique = out[:, 7, :].reshape(n) == 1.0
+    dist = jnp.sqrt(jnp.maximum(d2, 0.0)).astype(query.dtype)
+    matched = out[:, 0:3, :].transpose(0, 2, 1).reshape(n, 3).astype(
+        query.dtype)
+    normal = out[:, 3:6, :].transpose(0, 2, 1).reshape(n, 3).astype(
+        query.dtype)
+    certified = (
+        jnp.broadcast_to(tile_ok[:, None], (t, tile_q)).reshape(n)
+        & (dist <= radius) & unique
+    )
+    return matched[:n_in], normal[:n_in], dist[:n_in], certified[:n_in]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "resolution", "coarse_resolution", "tile_q", "slabs", "trange",
         "coarse_trange", "coarse_budget", "brute_batch", "brute_passes",
-        "global_fallback",
+        "global_fallback", "fine", "xy_slots",
     ),
 )
 def nn_colsweep_exact(
     query: jnp.ndarray,
     target: jnp.ndarray,
-    grid: PallasGrid,
+    grid: "PallasGrid | ZPallasGrid",
     coarse_grid: "PallasGrid | None" = None,
     target_normals: "jnp.ndarray | None" = None,
     *,
@@ -901,6 +1212,8 @@ def nn_colsweep_exact(
     brute_batch: int = 4096,
     brute_passes: int = 16,
     global_fallback: bool = True,
+    fine: str = "sweep",
+    xy_slots: int = 12,
 ):
     """Exact NN: fine kernel → coarse-kernel repair → budgeted brute →
     global cond fallback.
@@ -941,10 +1254,18 @@ def nn_colsweep_exact(
             [query, jnp.broadcast_to(query[-1], (n - n_in, 3))], axis=0
         )
 
-    m3, nrm, dist, certified = nn_colsweep(
-        query, grid, resolution=resolution, tile_q=tile_q, slabs=slabs,
-        trange=trange,
-    )
+    if fine == "zcol":
+        # Volume regime: z-window column kernel (tile layout must be
+        # (x,y)-group-aligned — grouped_tile_order_device(group="xy")).
+        m3, nrm, dist, certified = nn_colsweep_z(
+            query, grid, resolution=resolution, tile_q=tile_q,
+            xy_slots=xy_slots, zrange=trange,
+        )
+    else:
+        m3, nrm, dist, certified = nn_colsweep(
+            query, grid, resolution=resolution, tile_q=tile_q, slabs=slabs,
+            trange=trange,
+        )
     matched = jnp.concatenate([m3, nrm], axis=1)  # (N, 6): xyz + normal
 
     q_t = query.reshape(t, tile_q, 3)
@@ -1127,7 +1448,8 @@ def make_pallas_nn(
 def _pallas_fn(resolution: int, coarse_resolution: int, trange: int,
                coarse_trange: int, global_fallback: bool,
                with_normals: bool = False, slabs: int = 6,
-               tile_q: int = 128):
+               tile_q: int = 128, fine: str = "sweep",
+               xy_slots: int = 12):
     def fn(query, target, nn_state):
         grid, coarse, normals = nn_state
         m, nrm, d = nn_colsweep_exact(
@@ -1136,6 +1458,7 @@ def _pallas_fn(resolution: int, coarse_resolution: int, trange: int,
             resolution=resolution, coarse_resolution=coarse_resolution,
             trange=trange, coarse_trange=coarse_trange,
             global_fallback=global_fallback, slabs=slabs, tile_q=tile_q,
+            fine=fine, xy_slots=xy_slots,
         )
         if with_normals:
             return m, d, nrm
@@ -1145,11 +1468,7 @@ def _pallas_fn(resolution: int, coarse_resolution: int, trange: int,
     # to validate the estimator against the packed grid contents.
     fn.tile_q = tile_q
     fn.with_normals = with_normals
+    # The z-column kernel needs (x,y)-group-aligned tiles; the x-slab
+    # sweep needs x-group alignment only.
+    fn.layout_group = "xy" if fine == "zcol" else "x"
     return fn
-
-
-def pallas_nn_adapter(query, target, nn_state):
-    """Adapter when nn_state is a prebuilt PallasGrid with default meta."""
-    raise NotImplementedError(
-        "use make_pallas_nn(...) to construct the adapter with its grid"
-    )

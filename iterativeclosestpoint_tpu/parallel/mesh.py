@@ -7,6 +7,13 @@ data-parallel shard of source points over a ``jax.sharding.Mesh``, with
 per-iteration scalar/centroid/covariance statistics reduced by ``psum``
 over ICI (the reductions at icpengine.cpp:234-278 and the 3×3 covariance
 at icpengine.cpp:82-90).
+
+Multi-host: ``init_multihost`` wraps ``jax.distributed.initialize`` and
+returns the 2-D (hosts × chips) mesh — the ``host`` axis rides DCN, the
+``chip`` axis ICI. The ICP paths shard source rows over ALL mesh axes and
+psum over the axis tuple, so the same code runs 1-D single-host and 2-D
+multi-host meshes (mechanically tested by tests/test_multihost.py with two
+`jax.distributed` CPU processes over Gloo).
 """
 
 from __future__ import annotations
@@ -22,21 +29,30 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("dp",),
     devices=None,
+    shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """1-D device mesh over the first ``n_devices`` local devices.
+    """Device mesh over the first ``n_devices`` local devices.
 
-    For multi-host pods, call ``jax.distributed.initialize`` first and pass
-    ``devices=jax.devices()``; the DP axis then spans hosts (DCN) × chips
-    (ICI).
+    1-D by default (axis ``dp``). For a 2-D (hosts × chips) mesh pass
+    ``axis_names=("host", "chip")`` and ``shape=(n_hosts, chips_per_host)``
+    — or use ``init_multihost`` which derives the shape from the process
+    layout. ``jax.devices()`` orders devices by process, so reshaping to
+    (processes, local devices) puts each row on one host.
     """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     arr = np.asarray(devices)
-    if len(axis_names) == 1:
-        return Mesh(arr, axis_names)
-    raise ValueError("only 1-D meshes supported so far")
+    if shape is not None:
+        if len(shape) != len(axis_names):
+            raise ValueError(
+                f"shape {shape} does not match axis_names {axis_names}"
+            )
+        arr = arr.reshape(tuple(shape))
+    elif len(axis_names) != 1:
+        raise ValueError("pass shape= for multi-axis meshes")
+    return Mesh(arr, axis_names)
 
 
 def init_multihost(
@@ -45,11 +61,13 @@ def init_multihost(
     process_id: Optional[int] = None,
 ) -> Mesh:
     """Initialize JAX distributed for an N-host pod slice and return the
-    global dp mesh (DCN across hosts × ICI across chips).
+    global (hosts × chips) mesh: axis ``host`` over DCN, axis ``chip``
+    over ICI. On single-process runs this is a 1-D ``dp`` mesh over local
+    devices (no distributed init needed).
 
-    On single-host runs this is a no-op mesh over local devices. On a pod
-    slice, call on every host (arguments can come from the cluster
-    environment; jax.distributed auto-detects on Cloud TPU).
+    Call on every host; arguments can come from the cluster environment
+    (jax.distributed auto-detects on Cloud TPU when they are omitted but
+    ``num_processes`` > 1 is implied by the environment).
     """
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
@@ -57,7 +75,37 @@ def init_multihost(
             num_processes=num_processes,
             process_id=process_id,
         )
+    if jax.process_count() > 1:
+        n_proc = jax.process_count()
+        n_local = len(jax.local_devices())
+        return make_mesh(
+            axis_names=("host", "chip"), shape=(n_proc, n_local)
+        )
     return make_mesh(devices=jax.devices())
+
+
+def mesh_dp_axes(mesh: Mesh) -> tuple:
+    """The axis-name tuple the ICP paths shard/psum over: ALL mesh axes
+    (a 1-D ``dp`` mesh and a 2-D host×chip mesh run the same code)."""
+    return tuple(mesh.axis_names)
+
+
+def to_global(x: np.ndarray, mesh: Mesh, spec) -> jax.Array:
+    """Build a (possibly multi-process global) device array from a numpy
+    array every process holds in full.
+
+    Single-process: a plain device_put. Multi-process: each process
+    fills its addressable shards from its full host copy
+    (``make_array_from_callback``), yielding the global sharded array
+    shard_map needs in multi-controller mode.
+    """
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+    return jax.device_put(x, sh)
 
 
 def pad_to_multiple(x: np.ndarray, m: int):

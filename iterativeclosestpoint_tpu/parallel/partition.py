@@ -4,28 +4,47 @@ The replicated-target data-parallel path (parallel/sharded.py) caps out
 when the target no longer fits per-device HBM. This module implements the
 SURVEY.md §5/§7 design: the target is partitioned into x-range slabs by
 point-count quantiles (balanced), each device holding its slab plus a
-halo of width h; Morton-ordered source shards are spatially compact, so
-almost every query's neighborhood is local.
+halo of width h; x-sorted source shards are spatially compact, so almost
+every query's neighborhood is local.
 
 Exactness per query is certified by a *margin* argument: if the best
-local distance d satisfies d ≤ distance(query, halo x-limits), the true
-nearest neighbor's x lies inside this device's halo range, so it was in
-the searched set — no slab-membership bookkeeping needed, and the
+local distance d satisfies d < distance(query, halo x-limits), the true
+nearest neighbor's x lies strictly inside this device's halo range, so it
+was in the searched set — no slab-membership bookkeeping needed, and the
 certificate survives source drift across iterations. Uncertified queries
-(budgeted per device) are repaired collectively: one ``all_gather``
-broadcasts them, every device searches its own slab, and a
+(budgeted per device, multiple passes) are repaired collectively: one
+``all_gather`` broadcasts them, every device searches its own slab, and a
 ``pmin``/``psum`` combine selects the global winner — the halo-exchange
 analog of ring-attention's KV pass (SURVEY.md §5).
 
-The per-device local search is the exact brute-force pass over the slab
-(MXU matmul form); plugging the Pallas slab-sweep kernel underneath is a
-local change since the NN contract returns matched coordinates.
+Tie exactness (reference semantics: first minimal index in target order,
+core/octree.cpp best-first scan order): every slab row carries its
+ORIGINAL target index; the collective combine breaks distance ties by a
+second ``pmin`` over the winners' original indices, so equidistant
+candidates held by different devices resolve to the globally-first target
+point — never an average of two points. Within a device the strict (<)
+margin plus the slab's original-order sort make the local first-tie the
+global one.
+
+Per-device local search backends (``local_search``):
+  * ``"brute"`` — exact XLA brute force over the slab (MXU-friendly at
+    small slab sizes; the CPU-testable reference behavior).
+  * ``"pallas"`` — the slab-sweep grid kernel (ops/pallas_nn.py) over a
+    per-device grid built ON DEVICE from the sharded slab buffer
+    (``_build_grid_dev(mask_far=True)``) — no per-slab host sorts or grid
+    uploads. Kernel-uncertified or tied queries join the margin-failed
+    ones in the collective repair, so the exactness contract is identical.
+  * ``"auto"`` — pallas on TPU for slabs too large to brute-force,
+    brute otherwise.
+
+Scales the reference's single-tree design (icp_registration.cpp:443-622
+semantics) to targets beyond per-chip HBM.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,131 +53,301 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from iterativeclosestpoint_tpu.models.icp import (
     ICPResult,
+    _rebase_transform,
+    _run_segmented,
     icp_core_impl,
     package_result,
 )
 from iterativeclosestpoint_tpu.ops.bruteforce import nn_bruteforce
+from iterativeclosestpoint_tpu.ops.cellblock import auto_resolution_data
 from iterativeclosestpoint_tpu.parallel.mesh import make_mesh, pad_to_multiple
 
 _FAR = 1.0e6
+_IMAX = np.int32(2**31 - 1)
 
 
 class PartitionState(NamedTuple):
     halo_pts: jnp.ndarray   # (D, M_loc, 3) per-device slab+halo (far-padded)
+    halo_idx: jnp.ndarray   # (D, M_loc) original target index (pad: INT_MAX)
+    halo_nrm: jnp.ndarray   # (D, M_loc, 3) per-point normals (zeros unless
+                            # plane mode)
     x_lo: jnp.ndarray       # (D,) halo lower x-limit per device
     x_hi: jnp.ndarray       # (D,) halo upper x-limit per device
 
 
 def build_partition(
-    target: np.ndarray, n_dev: int, halo: float, dtype=np.float32
+    target: np.ndarray, n_dev: int, halo: float, dtype=np.float32,
+    normals: "np.ndarray | None" = None,
 ) -> PartitionState:
     """Host-side: x-quantile slabs + halo, padded to a common size."""
     target = np.asarray(target)
     qs = np.quantile(target[:, 0], np.linspace(0, 1, n_dev + 1))
     qs[0], qs[-1] = -np.inf, np.inf
 
-    chunks = []
+    sels = []
     los = np.empty(n_dev)
     his = np.empty(n_dev)
     for d in range(n_dev):
         lo = qs[d] - halo
         hi = qs[d + 1] + halo
-        sel = target[(target[:, 0] >= lo) & (target[:, 0] < hi)]
-        chunks.append(sel)
+        sel = np.nonzero((target[:, 0] >= lo) & (target[:, 0] < hi))[0]
+        sels.append(sel)
         los[d] = lo
         his[d] = hi
-    m_loc = max(len(c) for c in chunks)
+    m_loc = max(len(s) for s in sels)
     m_loc = -(-m_loc // 128) * 128
     buf = np.full((n_dev, m_loc, 3), _FAR, dtype)
-    for d, c in enumerate(chunks):
-        buf[d, : len(c)] = c
+    idx = np.full((n_dev, m_loc), _IMAX, np.int32)
+    nrm = np.zeros((n_dev, m_loc, 3), dtype)
+    for d, s in enumerate(sels):
+        buf[d, : len(s)] = target[s]
+        idx[d, : len(s)] = s.astype(np.int32)
+        if normals is not None:
+            nrm[d, : len(s)] = normals[s]
     return PartitionState(
         halo_pts=jnp.asarray(buf),
+        halo_idx=jnp.asarray(idx),
+        halo_nrm=jnp.asarray(nrm),
         x_lo=jnp.asarray(los, dtype),
         x_hi=jnp.asarray(his, dtype),
     )
 
 
-def _partitioned_nn(repair_budget: int, axis_name: str):
-    """NN closure for icp_core_impl: local slab search + collective repair."""
+def _collective_repair(
+    axis_name: str,
+    repair_budget: int,
+    repair_passes: int,
+    with_normals: bool,
+):
+    """Budgeted multi-pass halo-exchange repair with exact tie handling.
+
+    Every pass: compact up to ``repair_budget`` uncertified queries per
+    device, ``all_gather`` them, search every slab, combine by pmin(d²)
+    with a second pmin over the winners' ORIGINAL target indices for ties
+    (reference first-tie order; never averages distinct points — the
+    psum/wins division only merges the duplicated halo copies of one and
+    the same target point, which is exact)."""
+
+    def repair(query, matched6, dist, certified, halo, gidx, nrm6):
+        f = query.dtype
+        n_bad = jnp.sum(~certified, dtype=jnp.int32)
+        # ALL branch decisions below must be device-uniform (a collective
+        # sits inside every branch — a local predicate deadlocks the
+        # mesh): gate on the max bad count over devices; per-device
+        # overshoot rows are masked by ``live``.
+        n_bad_max = jax.lax.pmax(n_bad, axis_name)
+        K = min(repair_budget, query.shape[0])
+
+        def one_pass(p, carry):
+            matched6, dist = carry
+
+            def do(_):
+                perm = jnp.argsort(certified.astype(jnp.int32), stable=True)
+                rows = jax.lax.dynamic_slice(perm, (p * K,), (K,))
+                q_bad = query[rows]
+                live = (p * K + jnp.arange(K, dtype=jnp.int32)) < n_bad
+
+                q_all = jax.lax.all_gather(q_bad, axis_name)  # (D, K, 3)
+                D = q_all.shape[0]
+                qa = q_all.reshape(D * K, 3)
+                li, ld = nn_bruteforce(qa, halo)
+                lm = halo[li]                       # (D·K, 3)
+                gi = gidx[li]                       # (D·K,) original index
+                ld2 = (ld * ld).astype(f)
+                gd2 = jax.lax.pmin(ld2, axis_name)
+                isw = ld2 <= gd2
+                cand = jnp.where(isw, gi, _IMAX)
+                gi_min = jax.lax.pmin(cand, axis_name)
+                win = (isw & (gi == gi_min)).astype(f)
+                wins = jax.lax.psum(win, axis_name)
+                lm6 = (
+                    jnp.concatenate([lm, nrm6[li]], axis=1)
+                    if with_normals
+                    else jnp.concatenate([lm, jnp.zeros_like(lm)], axis=1)
+                )
+                gm6 = jax.lax.psum(lm6 * win[:, None], axis_name) / (
+                    jnp.maximum(wins, 1.0)[:, None]
+                )
+                gd = jnp.sqrt(jnp.maximum(gd2, 0.0))
+
+                rank = jax.lax.axis_index(axis_name)
+                z = jnp.zeros((), rank.dtype)
+                seg_m = jax.lax.dynamic_slice(gm6, (rank * K, z), (K, 6))
+                seg_d = jax.lax.dynamic_slice(gd, (rank * K,), (K,))
+                return (
+                    matched6.at[rows].set(
+                        jnp.where(live[:, None], seg_m, matched6[rows])
+                    ),
+                    dist.at[rows].set(jnp.where(live, seg_d, dist[rows])),
+                )
+
+            return jax.lax.cond(n_bad_max > p * K, do, lambda _: carry, None)
+
+        any_bad = n_bad_max > 0
+
+        def run(carry):
+            return jax.lax.fori_loop(0, repair_passes, one_pass, carry)
+
+        matched6, dist = jax.lax.cond(
+            any_bad, run, lambda c: c, (matched6, dist)
+        )
+        return matched6, dist
+
+    return repair
+
+
+def _partitioned_nn_brute(
+    repair_budget: int,
+    repair_passes: int,
+    axis_name: str,
+    with_normals: bool,
+):
+    """NN closure: exact XLA brute force over the local slab + margin
+    certificate + collective repair."""
+    repair = _collective_repair(
+        axis_name, repair_budget, repair_passes, with_normals
+    )
 
     def nn(query, target_local, state):
-        halo, x_lo, x_hi = state  # local: (M_loc,3), (), ()
         del target_local
+        halo, gidx, nrm, x_lo, x_hi = state
         idx, dist = nn_bruteforce(query, halo)
-        matched = halo[idx]
-
-        # Margin certificate: best distance within reach of the halo walls.
-        margin = jnp.minimum(query[:, 0] - x_lo, x_hi - query[:, 0])
-        certified = dist <= margin
-        bad = ~certified
-        n_bad = jnp.sum(bad, dtype=jnp.int32)
-        any_bad = jax.lax.psum(n_bad, axis_name) > 0
-
-        def repair(carry):
-            matched0, dist0 = carry
-            K = min(repair_budget, query.shape[0])
-            perm = jnp.argsort(certified.astype(jnp.int32), stable=True)
-            rows = perm[:K]
-            q_bad = query[rows]
-            live = jnp.arange(K, dtype=jnp.int32) < n_bad
-
-            # Halo exchange: everyone sees everyone's problem queries.
-            q_all = jax.lax.all_gather(q_bad, axis_name)  # (D, K, 3)
-            D = q_all.shape[0]
-            qa = q_all.reshape(D * K, 3)
-            li, ld = nn_bruteforce(qa, halo)
-            lm = halo[li]
-            ld2 = ld * ld
-            gd2 = jax.lax.pmin(ld2, axis_name)
-            win = (ld2 <= gd2).astype(query.dtype)
-            wins = jax.lax.psum(win, axis_name)
-            gm = jax.lax.psum(lm * win[:, None], axis_name) / jnp.maximum(
-                wins, 1.0
-            )[:, None]
-            gd = jnp.sqrt(jnp.maximum(gd2, 0.0))
-
-            # Extract this device's segment and scatter into local slots.
-            rank = jax.lax.axis_index(axis_name)
-            z = jnp.zeros((), rank.dtype)
-            seg_m = jax.lax.dynamic_slice(gm, (rank * K, z), (K, 3))
-            seg_d = jax.lax.dynamic_slice(gd, (rank * K,), (K,))
-            return (
-                matched0.at[rows].set(
-                    jnp.where(live[:, None], seg_m, matched0[rows])
-                ),
-                dist0.at[rows].set(jnp.where(live, seg_d, dist0[rows])),
-            )
-
-        # All devices enter the collective branch together (any_bad is
-        # psum-derived, hence identical everywhere).
-        matched, dist = jax.lax.cond(
-            any_bad, repair, lambda c: c, (matched, dist)
+        m6 = jnp.concatenate(
+            [halo[idx], nrm[idx] if with_normals else jnp.zeros_like(query)],
+            axis=1,
         )
-        return matched, dist
+
+        # Margin certificate, strict: a tie exactly AT the wall could have
+        # its twin beyond it — send boundary ties through the repair.
+        margin = jnp.minimum(query[:, 0] - x_lo, x_hi - query[:, 0])
+        certified = dist < margin
+        m6, dist = repair(query, m6, dist, certified, halo, gidx, nrm)
+        if with_normals:
+            return m6[:, 0:3], dist, m6[:, 3:6]
+        return m6[:, 0:3], dist
+
+    return nn
+
+
+def _partitioned_nn_pallas(
+    repair_budget: int,
+    repair_passes: int,
+    axis_name: str,
+    with_normals: bool,
+    resolution: int,
+    trange: int,
+    slabs: int,
+    tile_q: int,
+):
+    """NN closure: per-device slab-sweep kernel + margin certificate +
+    collective repair (kernel-uncertified / tied queries repair too)."""
+    from iterativeclosestpoint_tpu.ops.pallas_nn import nn_colsweep
+
+    repair = _collective_repair(
+        axis_name, repair_budget, repair_passes, with_normals
+    )
+
+    def nn(query, target_local, state):
+        del target_local
+        halo, gidx, nrm, x_lo, x_hi, grid = state
+        m3, knrm, dist, cert_k = nn_colsweep(
+            query, grid, resolution=resolution, tile_q=tile_q,
+            slabs=slabs, trange=trange,
+        )
+        m6 = jnp.concatenate([m3, knrm], axis=1)
+        margin = jnp.minimum(query[:, 0] - x_lo, x_hi - query[:, 0])
+        certified = cert_k & (dist.astype(jnp.float32) < margin)
+        m6, dist = repair(query, m6, dist, certified, halo, gidx, nrm)
+        if with_normals:
+            return m6[:, 0:3], dist, m6[:, 3:6]
+        return m6[:, 0:3], dist
 
     return nn
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iterations", "widen_first", "repair_budget", "mesh"),
+    static_argnames=(
+        "max_iterations", "widen_first", "repair_budget", "repair_passes",
+        "mesh", "estimator", "robust", "local_search", "resolution",
+        "trange", "slabs", "tile_q",
+    ),
 )
 def _icp_core_partitioned(
-    source, weight, part: PartitionState, *,
+    source, weight, part: PartitionState, carry=None, *,
     max_iterations: int, tolerance, sigma_multiplier, widen_first: bool,
-    repair_budget: int, mesh: Mesh,
+    repair_budget: int, repair_passes: int, mesh: Mesh,
+    estimator: str = "point", robust: str = "none",
+    local_search: str = "brute", resolution: int = 0, trange: int = 0,
+    slabs: int = 4, tile_q: int = 128,
 ):
-    nn = _partitioned_nn(repair_budget, "dp")
+    with_normals = estimator == "plane"
+    if local_search == "pallas":
+        nn = _partitioned_nn_pallas(
+            repair_budget, repair_passes, "dp", with_normals,
+            resolution, trange, slabs, tile_q,
+        )
+    else:
+        nn = _partitioned_nn_brute(
+            repair_budget, repair_passes, "dp", with_normals,
+        )
 
-    def device_fn(src, w, halo, x_lo, x_hi):
-        dummy_target = jnp.zeros((1, 3), src.dtype)
-        return icp_core_impl(
-            src, w, dummy_target, (halo[0], x_lo[0], x_hi[0]),
+    if carry is None:
+        f = source.dtype
+        carry = (
+            jnp.eye(4, dtype=f),
+            jnp.asarray(1e10, f),
+            jnp.asarray(0, jnp.int32),
+        )
+
+    def device_fn(src, w, halo, gidx, nrm, x_lo, x_hi, carry_):
+        halo0 = halo[0]
+        state = [halo0, gidx[0], nrm[0], x_lo[0], x_hi[0]]
+        src_run = src
+        weight_run = w
+        rows = None
+        if local_search == "pallas":
+            from iterativeclosestpoint_tpu.ops.pallas_nn import (
+                _build_grid_dev,
+                grouped_tile_order_device,
+            )
+
+            # Per-device grid geometry from the slab's own (dynamic) bbox;
+            # _FAR padding rows sort past the last cell (mask_far).
+            real = halo0[:, 0] < _FAR * 0.5
+            big = jnp.asarray(_FAR, jnp.float32)
+            lo3 = jnp.min(jnp.where(real[:, None], halo0, big), axis=0)
+            hi3 = jnp.max(jnp.where(real[:, None], halo0, -big), axis=0)
+            cell = jnp.maximum(jnp.max(hi3 - lo3) / resolution, 1e-9)
+            grid = _build_grid_dev(
+                halo0, lo3, cell, resolution=resolution, trange=trange,
+                normals=(nrm[0] if with_normals else None), mask_far=True,
+            )
+            state.append(grid)
+            # X-group-aligned query layout against THIS device's grid
+            # (once per dispatch — the layout is pose-robust; see
+            # ops/pallas_nn.grouped_tile_order).
+            rows, lw = grouped_tile_order_device(
+                src, lo3, cell, resolution=resolution, tile_q=tile_q
+            )
+            src_run = src[rows]
+            weight_run = w[rows] * lw
+
+        out = icp_core_impl(
+            src_run, weight_run, jnp.zeros((1, 3), src.dtype), tuple(state),
             nn_fn=nn, max_iterations=max_iterations, tolerance=tolerance,
             sigma_multiplier=sigma_multiplier, widen_first=widen_first,
-            axis_name="dp",
+            axis_name="dp", estimator=estimator, robust=robust,
+            carry=carry_,
         )
+        if rows is not None:
+            # Emit the registered shard in the caller's row order (the
+            # layout permutation is internal to the NN).
+            from iterativeclosestpoint_tpu.ops.se3 import apply_transform
+
+            out = dict(out)
+            out["src"] = apply_transform(out["T_cum"], src)
+        return out
 
     out_specs = {k: P() for k in (
         "T_cum", "prev_error", "no_improve", "iter", "stop", "recorded",
@@ -168,10 +357,16 @@ def _icp_core_partitioned(
     return jax.shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        in_specs=(
+            P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+            P(),
+        ),
         out_specs=out_specs,
         check_vma=False,
-    )(source, weight, part.halo_pts, part.x_lo, part.x_hi)
+    )(
+        source, weight, part.halo_pts, part.halo_idx, part.halo_nrm,
+        part.x_lo, part.x_hi, carry,
+    )
 
 
 def icp_register_partitioned(
@@ -181,26 +376,50 @@ def icp_register_partitioned(
     mesh: Optional[Mesh] = None,
     halo: Optional[float] = None,
     repair_budget: int = 1024,
+    repair_passes: int = 4,
     max_iterations: int = 50,
     tolerance: float = 1e-6,
     sigma_multiplier: float = 3.0,
     mode: str = "gui",
+    estimator: str = "point",
+    robust: str = "none",
+    local_search: str = "auto",
+    grid_resolution: Optional[int] = None,
     dtype=jnp.float32,
     center: bool = True,
     return_registered: bool = True,
+    initial_transform: Optional[np.ndarray] = None,
+    segment_iterations: int = 0,
+    progress_callback: Optional[Callable] = None,
+    stop_event=None,
+    segment_callback: Optional[Callable] = None,
 ) -> ICPResult:
     """ICP with the target spatially partitioned across the mesh.
 
     ``halo`` defaults to 2% of the cloud extent — generous against
-    expected post-coarse correspondence distances; widen it (or run a
-    coarse alignment first) for badly misaligned pairs.
+    expected post-coarse correspondence distances; widen it (or pass a
+    coarse ``initial_transform``) for badly misaligned pairs.
+
+    ``local_search``: "auto" picks the Pallas slab-sweep kernel on TPU
+    when a slab is too large for the all-pairs form, XLA brute force
+    otherwise. ``estimator``/``robust`` mirror models.icp.icp_register
+    (plane mode partitions per-point normals alongside the slabs).
+    ``segment_iterations``/callbacks/stop mirror the segmented-dispatch
+    surface (auto-enabled ≥2M points — the TPU-worker watchdog guard).
     """
     if mesh is None:
         mesh = make_mesh()
     n_dev = mesh.devices.size
+    if estimator not in ("point", "plane"):
+        raise ValueError(f"unknown estimator {estimator!r}")
 
     source = np.asarray(source, np.float64)
     target = np.asarray(target, np.float64)
+    n_orig = len(source)
+    T_init = None
+    if initial_transform is not None:
+        T_init = np.asarray(initial_transform, np.float64)
+        source = source @ T_init[:3, :3].T + T_init[:3, 3]
     offset = (
         (target.min(axis=0) + target.max(axis=0)) / 2.0
         if center else np.zeros(3)
@@ -210,20 +429,87 @@ def icp_register_partitioned(
     if halo is None:
         halo = 0.02 * float((tgt_local.max(0) - tgt_local.min(0)).max())
 
+    normals = None
+    if estimator == "plane":
+        from iterativeclosestpoint_tpu.ops.normals import (
+            estimate_normals_cellpca,
+        )
+
+        normals = estimate_normals_cellpca(
+            tgt_local, auto_resolution_data(tgt_local)
+        ).astype(dtype)
+
     # Sort source by x so equal-count shards line up with the target's
     # x-quantile slabs (the clouds nearly coincide after coarse alignment);
     # residual mismatch is absorbed by the halo + collective repair.
     perm = np.argsort(src_local[:, 0], kind="stable")
     src_sorted = src_local[perm]
-    part = build_partition(tgt_local, n_dev, halo, dtype=dtype)
+    part = build_partition(tgt_local, n_dev, halo, dtype=dtype,
+                           normals=normals)
+    m_loc = part.halo_pts.shape[1]
+
+    if local_search == "auto":
+        local_search = (
+            "pallas"
+            if (jax.default_backend() == "tpu" and m_loc > 131072
+                and jnp.dtype(dtype) == jnp.float32)
+            else "brute"
+        )
+    resolution = trange = 0
+    if local_search == "pallas":
+        from iterativeclosestpoint_tpu.ops.pallas_nn import (
+            _TRANGE_LADDER,
+            auto_trange,
+        )
+
+        # Shared static grid params: per-slab data-adaptive estimates,
+        # maxed across devices and ladder-quantized (compile reuse).
+        buf = np.asarray(part.halo_pts)
+        slabs_real = [buf[d][buf[d, :, 0] < _FAR * 0.5] for d in range(n_dev)]
+        resolution = grid_resolution or max(
+            auto_resolution_data(s) for s in slabs_real if len(s)
+        )
+        trange = max(
+            auto_trange(s, resolution) for s in slabs_real if len(s)
+        )
+        for step in _TRANGE_LADDER:
+            if trange <= step:
+                trange = step
+                break
 
     src_pad, w = pad_to_multiple(src_sorted.astype(dtype), n_dev)
-    out = _icp_core_partitioned(
-        jnp.asarray(src_pad), jnp.asarray(w), part,
-        max_iterations=max_iterations, tolerance=tolerance,
-        sigma_multiplier=sigma_multiplier, widen_first=(mode == "gui"),
-        repair_budget=repair_budget, mesh=mesh,
+    src_dev = jnp.asarray(src_pad)
+    w_dev = jnp.asarray(w)
+
+    widen = mode == "gui"
+    if not segment_iterations and n_orig >= 2_000_000:
+        per_chip = max(n_orig // max(n_dev, 1), 1)
+        segment_iterations = max(2, int(8_000_000 // max(per_chip, 1)))
+
+    static = dict(
+        tolerance=tolerance, sigma_multiplier=sigma_multiplier,
+        repair_budget=repair_budget, repair_passes=repair_passes,
+        mesh=mesh, estimator=estimator, robust=robust,
+        local_search=local_search, resolution=resolution, trange=trange,
     )
+
+    def dispatch(carry_, seg_n, widen_):
+        return _icp_core_partitioned(
+            src_dev, w_dev, part, carry_,
+            max_iterations=seg_n, widen_first=widen_, **static,
+        )
+
+    if segment_iterations and segment_iterations > 0:
+        out = _run_segmented(
+            dispatch, offset, src_dev.dtype,
+            max_iterations=max_iterations,
+            segment_iterations=segment_iterations,
+            widen_first=widen,
+            progress_callback=progress_callback, stop_event=stop_event,
+            segment_callback=segment_callback,
+        )
+    else:
+        out = dispatch(None, max_iterations, widen)
     out = dict(out)
     out["src"] = out["src"][: len(source)]
     res = package_result(out, offset, return_registered)
@@ -231,4 +517,9 @@ def icp_register_partitioned(
         unperm = np.empty_like(res.source_registered)
         unperm[perm] = res.source_registered
         res.source_registered = unperm
+    if T_init is not None:
+        res.transform = res.transform @ T_init
+        res.history_transform = res.history_transform @ T_init
+        res.carry_transform_local = None
+        res.center_offset = None
     return res

@@ -6,21 +6,25 @@ source cloud is sharded across chips along a 1-D ``dp`` mesh axis via
 ``shard_map``; the target (and its voxel grid) is replicated; every
 per-iteration statistic — distance mean/σ, inlier counts, RMSE numerators
 (icpengine.cpp:234-278), centroids and the 3×3 cross-covariance
-(icpengine.cpp:82-90) — is reduced with ``psum`` over ICI. All devices
-therefore step through bit-identical convergence decisions, transforms and
-history records; only the NN search and the element-wise mask work is
-parallel. Per iteration the wire traffic is four small psums (a dozen
-scalars + a 3×3), so scaling efficiency is set by the NN kernel, not
-comms.
+(icpengine.cpp:82-90), or the 6×6 normal equations in plane mode — is
+reduced with ``psum`` over ICI. All devices therefore step through
+bit-identical convergence decisions, transforms and history records; only
+the NN search and the element-wise mask work is parallel. Per iteration
+the wire traffic is four small psums (a dozen scalars + a 3×3 or 6×6), so
+scaling efficiency is set by the NN kernel, not comms.
 
 The loop body itself is ``models.icp.icp_core_impl`` — the same code as
-the single-device path, with ``axis_name='dp'``.
+the single-device path, with ``axis_name='dp'`` — and large runs reuse the
+same segmented dispatcher (``models.icp._run_segmented``), so live
+progress, cooperative stop, segment-boundary checkpoints, bit-identical
+resume, and the ≥2M-point auto-segmentation watchdog guard all work
+identically under the mesh.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,17 +34,25 @@ from jax.sharding import Mesh, PartitionSpec as P
 from iterativeclosestpoint_tpu.models.icp import (
     ICPResult,
     _default_nn,
+    _rebase_transform,
+    _run_segmented,
     apply_permutation,
     icp_core_impl,
     package_result,
 )
-from iterativeclosestpoint_tpu.parallel.mesh import make_mesh, pad_to_multiple
+from iterativeclosestpoint_tpu.parallel.mesh import (
+    make_mesh,
+    mesh_dp_axes,
+    pad_to_multiple,
+    to_global,
+)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nn_fn", "max_iterations", "widen_first", "mesh", "robust",
+        "nn_fn", "max_iterations", "widen_first", "mesh", "estimator",
+        "robust",
     ),
 )
 def _icp_core_sharded(
@@ -48,6 +60,7 @@ def _icp_core_sharded(
     weight,
     target,
     nn_state,
+    carry=None,
     *,
     nn_fn,
     max_iterations: int,
@@ -55,24 +68,41 @@ def _icp_core_sharded(
     sigma_multiplier,
     widen_first: bool,
     mesh: Mesh,
+    estimator: str = "point",
     robust: str = "none",
 ):
-    fn = functools.partial(
-        icp_core_impl,
-        nn_fn=nn_fn,
-        max_iterations=max_iterations,
-        tolerance=tolerance,
-        sigma_multiplier=sigma_multiplier,
-        widen_first=widen_first,
-        axis_name="dp",
-        robust=robust,
-    )
+    # Shard/reduce over ALL mesh axes: a 1-D ("dp",) single-host mesh and
+    # a 2-D ("host", "chip") DCN×ICI mesh run the same program — psum
+    # accepts the axis tuple and XLA lowers the hierarchy.
+    dp = mesh_dp_axes(mesh)
+
+    def fn(src, w, tgt, state, carry_):
+        return icp_core_impl(
+            src, w, tgt, state,
+            nn_fn=nn_fn,
+            max_iterations=max_iterations,
+            tolerance=tolerance,
+            sigma_multiplier=sigma_multiplier,
+            widen_first=widen_first,
+            axis_name=dp,
+            estimator=estimator,
+            robust=robust,
+            carry=carry_,
+        )
+
+    if carry is None:
+        f = source.dtype
+        carry = (
+            jnp.eye(4, dtype=f),
+            jnp.asarray(1e10, f),
+            jnp.asarray(0, jnp.int32),
+        )
 
     # Outputs: the transformed source stays sharded; scalars/history are
     # identical on every device (all decisions flow from psum-reduced
     # moments) and are emitted replicated.
     out_specs = {
-        "src": P("dp"),
+        "src": P(dp),
         "T_cum": P(),
         "prev_error": P(),
         "no_improve": P(),
@@ -90,10 +120,10 @@ def _icp_core_sharded(
     return jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P("dp"), P("dp"), P(), P()),
+        in_specs=(P(dp), P(dp), P(), P(), P()),
         out_specs=out_specs,
         check_vma=False,
-    )(source, weight, target, nn_state)
+    )(source, weight, target, nn_state, carry)
 
 
 def icp_register_sharded(
@@ -108,12 +138,20 @@ def icp_register_sharded(
     nn_backend: str = "auto",
     grid_resolution: Optional[int] = None,
     cell_capacity: Optional[int] = None,
+    estimator: str = "point",
+    robust: str = "none",
     dtype=jnp.float32,
     center: bool = True,
     return_registered: bool = True,
-    robust: str = "none",
+    segment_iterations: int = 0,
+    progress_callback: Optional[Callable] = None,
+    stop_event=None,
+    resume_carry: Optional[dict | tuple] = None,
+    segment_callback: Optional[Callable] = None,
 ) -> ICPResult:
-    """Multi-chip ICP registration (API mirror of models.icp.icp_register).
+    """Multi-chip ICP registration (API mirror of models.icp.icp_register,
+    including ``estimator``/``robust`` and the segmented-dispatch surface:
+    live progress, cooperative stop, checkpoints, bit-identical resume).
 
     The source is padded to a device multiple with zero-weight rows (which
     no statistic ever sees) and sharded along the mesh's ``dp`` axis.
@@ -121,9 +159,12 @@ def icp_register_sharded(
     if mesh is None:
         mesh = make_mesh()
     n_dev = mesh.devices.size
+    if estimator not in ("point", "plane"):
+        raise ValueError(f"unknown estimator {estimator!r}")
 
     source = np.asarray(source, np.float64)
     target = np.asarray(target, np.float64)
+    n_orig = len(source)
     offset = (
         (target.min(axis=0) + target.max(axis=0)) / 2.0
         if center
@@ -133,7 +174,7 @@ def icp_register_sharded(
     src_np = source - offset
     nn_fn, nn_state, rows, row_weight = _default_nn(
         nn_backend, src_np, target - offset, dtype,
-        grid_resolution, cell_capacity,
+        grid_resolution, cell_capacity, estimator,
     )
     if rows is not None:
         # Cell-sorted order also makes each device's shard spatially
@@ -146,22 +187,91 @@ def icp_register_sharded(
         w = w.copy()
         w[: len(row_weight)] = row_weight
 
-    out = _icp_core_sharded(
-        jnp.asarray(src_pad),
-        jnp.asarray(w),
-        jnp.asarray(target - offset, dtype),
-        nn_state,
-        nn_fn=nn_fn,
-        max_iterations=max_iterations,
-        tolerance=tolerance,
-        sigma_multiplier=sigma_multiplier,
-        widen_first=(mode == "gui"),
-        mesh=mesh,
-        robust=robust,
+    # Global device arrays: a plain put on one process; in multi-process
+    # (jax.distributed) mode each process fills its addressable shards
+    # from its full host copy — shard_map's multi-controller contract.
+    dp = mesh_dp_axes(mesh)
+    src_dev = to_global(src_pad, mesh, P(dp))
+    w_dev = to_global(w, mesh, P(dp))
+    tgt_dev = to_global((target - offset).astype(dtype), mesh, P())
+    nn_state = jax.tree.map(
+        lambda a: to_global(np.asarray(a), mesh, P()), nn_state
     )
+
+    carry = None
+    widen = mode == "gui"
+    if resume_carry is not None:
+        if isinstance(resume_carry, dict):
+            T_w = resume_carry["transform"]
+            pe = resume_carry["prev_error"]
+            ni = resume_carry["no_improve"]
+            T_l = resume_carry.get("transform_local")
+            ck_off = resume_carry.get("offset")
+        else:
+            T_w, pe, ni = resume_carry
+            T_l = ck_off = None
+        if (
+            T_l is not None
+            and ck_off is not None
+            and np.array_equal(np.asarray(ck_off, np.float64), offset)
+        ):
+            T_loc = np.asarray(T_l, np.float64)
+        else:
+            T_loc = _rebase_transform(np.asarray(T_w, np.float64), -offset)
+        carry = (
+            to_global(np.asarray(T_loc, dtype), mesh, P()),
+            to_global(np.asarray(pe, dtype), mesh, P()),
+            to_global(np.asarray(int(ni), np.int32), mesh, P()),
+        )
+        widen = False
+
+    if not segment_iterations and n_orig >= 2_000_000:
+        # Same TPU-worker watchdog guard as the single-device path
+        # (models/icp.py): bound each device program to a few iterations.
+        # Budgeted per-CHIP points — the mesh divides the work.
+        per_chip = max(n_orig // max(n_dev, 1), 1)
+        if per_chip >= 2_000_000:
+            segment_iterations = max(2, int(8_000_000 // per_chip))
+
+    def dispatch(carry_, seg_n, widen_):
+        return _icp_core_sharded(
+            src_dev, w_dev, tgt_dev, nn_state, carry_,
+            nn_fn=nn_fn, max_iterations=seg_n, tolerance=tolerance,
+            sigma_multiplier=sigma_multiplier, widen_first=widen_,
+            mesh=mesh, estimator=estimator, robust=robust,
+        )
+
+    if segment_iterations and segment_iterations > 0:
+        out = _run_segmented(
+            dispatch, offset, src_dev.dtype,
+            max_iterations=max_iterations,
+            segment_iterations=segment_iterations,
+            widen_first=widen,
+            progress_callback=progress_callback,
+            stop_event=stop_event,
+            carry_init=carry,
+            segment_callback=segment_callback,
+        )
+    else:
+        out = dispatch(carry, max_iterations, widen)
     # Trim device-padding rows before packaging.
     out = dict(out)
-    out["src"] = out["src"][: (len(rows) if rows is not None else len(source))]
+    if jax.process_count() > 1:
+        if return_registered:
+            # The registered shard spans processes; gather it to every
+            # host before the host-side trim/unpermute.
+            from jax.experimental import multihost_utils
+
+            out["src"] = multihost_utils.process_allgather(
+                out["src"], tiled=True
+            )
+        else:
+            del out["src"]
+            out["src"] = None  # keyed but unused below
+    out["src"] = (
+        out["src"][: (len(rows) if rows is not None else len(source))]
+        if out["src"] is not None else None
+    )
     res = package_result(out, offset, return_registered)
     if rows is not None:
         res = apply_permutation(res, rows, row_weight, len(source))

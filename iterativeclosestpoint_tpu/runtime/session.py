@@ -98,6 +98,7 @@ class RegistrationSession:
         checkpoint_path: Optional[str | Path] = None,
         initial_transform=None,
         live_every: int = 0,
+        iteration_base: int = 0,
         **overrides,
     ) -> ICPResult:
         """Run registration (blocking). Mirrors startRegistration →
@@ -133,20 +134,31 @@ class RegistrationSession:
                 rmse_trail = []
 
                 def on_iteration(rec):
+                    if iteration_base:
+                        rec = {**rec,
+                               "iteration": rec["iteration"] + iteration_base}
                     self.metrics.iteration(rec, cfg.max_iterations)
                     rmse_trail.append(rec["rmse"])
+
+                def on_segment(seg):
                     if checkpoint_path:
-                        # Rolling mid-run checkpoint (the reference's
-                        # per-iteration transform history made resumable).
+                        # Rolling mid-run checkpoint at segment boundaries:
+                        # carries the exact convergence state, so --resume
+                        # continues bit-identically (runtime/checkpoint.py).
                         save_checkpoint(
                             checkpoint_path,
-                            iteration=rec["iteration"],
-                            transform=rec["transform"],
+                            iteration=seg["iteration"] + iteration_base,
+                            transform=seg["transform"],
                             rmse_history=rmse_trail,
+                            prev_error=seg["prev_error"],
+                            no_improve=seg["no_improve"],
+                            transform_local=seg.get("transform_local"),
+                            center_offset=seg.get("offset"),
                             config=dataclasses.asdict(cfg),
                         )
 
                 kwargs.setdefault("progress_callback", on_iteration)
+                kwargs.setdefault("segment_callback", on_segment)
                 kwargs.setdefault("stop_event", self._stop_event)
             self.metrics.log("========== starting ICP registration ==========")
             self.metrics.log(f"source: {len(self.source)} points")
@@ -190,9 +202,13 @@ class RegistrationSession:
             if checkpoint_path:
                 save_checkpoint(
                     checkpoint_path,
-                    iteration=result.iterations,
+                    iteration=result.iterations + iteration_base,
                     transform=result.transform,
                     rmse_history=result.history_rmse,
+                    prev_error=result.carry_prev_error,
+                    no_improve=result.carry_no_improve,
+                    transform_local=result.carry_transform_local,
+                    center_offset=result.center_offset,
                     config=dataclasses.asdict(cfg),
                 )
             return result

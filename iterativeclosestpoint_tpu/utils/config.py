@@ -22,8 +22,12 @@ class ICPConfig:
     max_iterations: int = 50
     tolerance: float = 1e-6
     sigma_multiplier: float = 3.0
-    # NN-structure tunables. The reference's octree leaf capacity / depth
-    # (10 / 20) map onto the voxel-hash grid's occupancy knobs here.
+    # NN-structure tunables. ``cell_capacity`` is the reference's octree
+    # leaf capacity (icpengine.h:17) and applies to the *hashgrid* backend
+    # only (its per-cell candidate slots); the default pallas/cellblock
+    # backends size their cells data-adaptively instead
+    # (ops.cellblock.auto_resolution_data) and honor ``grid_resolution``
+    # when it is passed explicitly.
     cell_capacity: int = 10
     grid_resolution: int = 64
     # "gui" reproduces the first-iteration threshold widening

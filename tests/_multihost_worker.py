@@ -1,0 +1,85 @@
+"""Subprocess worker for tests/test_multihost.py.
+
+Runs as one of N ``jax.distributed`` CPU processes (Gloo collectives over
+localhost): initializes the 2-D (hosts × chips) mesh via
+``parallel.mesh.init_multihost`` and checks that the DCN×ICI-sharded ICP
+trajectory equals the single-device one — the mechanical multi-host test
+SURVEY.md §5 calls for (no TPU pod required).
+"""
+
+import os
+import sys
+
+
+def main() -> int:
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from iterativeclosestpoint_tpu.parallel.mesh import init_multihost
+
+    mesh = init_multihost(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    assert mesh.axis_names == ("host", "chip"), mesh.axis_names
+    assert mesh.devices.shape == (nproc, 2), mesh.devices.shape
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iterativeclosestpoint_tpu.models.icp import icp_register
+    from iterativeclosestpoint_tpu.parallel.sharded import (
+        icp_register_sharded,
+    )
+    from iterativeclosestpoint_tpu.utils.synth import make_registration_pair
+
+    src, tgt, _ = make_registration_pair(n=1001, seed=50, noise_sigma=0.02)
+    res_n = icp_register_sharded(
+        src, tgt, mesh=mesh, dtype=jnp.float64, max_iterations=12,
+        return_registered=True,
+    )
+    # Per-process single-device reference (local arrays only — legal in
+    # multi-controller mode).
+    res_1 = icp_register(
+        src, tgt, dtype=jnp.float64, nn_backend="bruteforce",
+        max_iterations=12,
+    )
+    assert res_n.iterations == res_1.iterations, (
+        res_n.iterations, res_1.iterations
+    )
+    assert res_n.message == res_1.message
+    np.testing.assert_array_equal(res_n.history_valid, res_1.history_valid)
+    np.testing.assert_allclose(res_n.history_rmse, res_1.history_rmse,
+                               rtol=1e-12)
+    np.testing.assert_allclose(res_n.transform, res_1.transform, atol=1e-12)
+    np.testing.assert_allclose(
+        res_n.source_registered, res_1.source_registered, atol=1e-10
+    )
+
+    # Plane estimator over the 2-D mesh (the 6×6 psum rides DCN too).
+    res_p = icp_register_sharded(
+        src, tgt, mesh=mesh, dtype=jnp.float64, max_iterations=8,
+        estimator="plane", return_registered=False,
+    )
+    res_p1 = icp_register(
+        src, tgt, dtype=jnp.float64, max_iterations=8, estimator="plane",
+        return_registered=False,
+    )
+    np.testing.assert_allclose(res_p.history_rmse, res_p1.history_rmse,
+                               rtol=1e-12)
+
+    print(f"MULTIHOST_OK {pid}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -10,6 +10,7 @@ from iterativeclosestpoint_tpu.ops.cellblock import (
     auto_resolution_data,
     morton_order,
 )
+from iterativeclosestpoint_tpu.ops.bruteforce import nn_bruteforce
 from iterativeclosestpoint_tpu.ops.pallas_nn import (
     build_pallas_grid,
     nn_colsweep,
@@ -496,3 +497,121 @@ def test_exact_tie_decertifies_and_repairs():
     np.testing.assert_array_equal(
         np.asarray(m), np.asarray(tgt, np.float32)[np.asarray(bi)]
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-window column kernel (volume regime)
+# ---------------------------------------------------------------------------
+
+
+def _volume_pair(m=4000, n=1200, seed=9, extent=10.0):
+    rng = np.random.default_rng(seed)
+    tgt = rng.uniform(0, extent, (m, 3)).astype(np.float32)
+    q = tgt[rng.choice(m, n, replace=False)] + rng.normal(
+        0, 0.02, (n, 3)
+    ).astype(np.float32)
+    return q.astype(np.float32), tgt
+
+
+def test_zcol_certified_results_are_exact():
+    from iterativeclosestpoint_tpu.ops.pallas_nn import (
+        _build_zgrid_dev,
+        grouped_tile_order_device,
+        nn_colsweep_z,
+    )
+
+    q, tgt = _volume_pair()
+    R, zrange = 8, 384
+    tmin = tgt.min(axis=0)
+    ext = float((tgt.max(axis=0) - tmin).max())
+    cell = jnp.asarray(max(ext / R, 1e-9), jnp.float32)
+    org = jnp.asarray(tmin, jnp.float32)
+    grid = _build_zgrid_dev(jnp.asarray(tgt), org, cell, resolution=R,
+                            zrange=zrange)
+    rows, w = grouped_tile_order_device(
+        jnp.asarray(q), org, cell, resolution=R, group="xy")
+    ql = jnp.asarray(q)[rows]
+    m3, nrm, d, cert = nn_colsweep_z(ql, grid, resolution=R, zrange=zrange)
+    m3, d, cert = np.asarray(m3), np.asarray(d), np.asarray(cert)
+
+    bi, bd = nn_bruteforce(ql, jnp.asarray(tgt))
+    bm, bd = np.asarray(jnp.asarray(tgt)[bi]), np.asarray(bd)
+    real = np.asarray(w) > 0
+    frac = cert[real].mean()
+    assert frac > 0.5, f"certified fraction {frac}"
+    sel = cert & real
+    np.testing.assert_array_equal(m3[sel], bm[sel])
+    np.testing.assert_allclose(d[sel], bd[sel], rtol=1e-6, atol=1e-6)
+
+
+def test_zcol_exact_chain_repairs_everything():
+    from iterativeclosestpoint_tpu.ops.pallas_nn import (
+        _build_grid_dev,
+        _build_zgrid_dev,
+        grouped_tile_order_device,
+        nn_colsweep_exact,
+    )
+
+    q, tgt = _volume_pair(seed=10)
+    R, zrange = 8, 384
+    tmin = tgt.min(axis=0)
+    ext = float((tgt.max(axis=0) - tmin).max())
+    cell = jnp.asarray(max(ext / R, 1e-9), jnp.float32)
+    cell_c = jnp.asarray(max(ext / 8, 1e-9), jnp.float32)
+    org = jnp.asarray(tmin, jnp.float32)
+    grid = _build_zgrid_dev(jnp.asarray(tgt), org, cell, resolution=R,
+                            zrange=zrange)
+    coarse = _build_grid_dev(jnp.asarray(tgt), org, cell_c, resolution=8,
+                             trange=4096)
+    rows, w = grouped_tile_order_device(
+        jnp.asarray(q), org, cell, resolution=R, group="xy")
+    ql = jnp.asarray(q)[rows]
+    m3, nrm, d = nn_colsweep_exact(
+        ql, jnp.asarray(tgt), grid, coarse, resolution=R,
+        coarse_resolution=8, trange=zrange, coarse_trange=4096,
+        fine="zcol",
+    )
+    bi, bd = nn_bruteforce(ql, jnp.asarray(tgt))
+    real = np.asarray(w) > 0
+    np.testing.assert_allclose(
+        np.asarray(d)[real], np.asarray(bd)[real], rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m3)[real], np.asarray(jnp.asarray(tgt)[bi])[real]
+    )
+
+
+def test_zcol_full_registration_matches_brute():
+    """prepared_nn route with kernel='zcol': full ICP trajectory equals
+    the brute-force trajectory on a volumetric cloud."""
+    from iterativeclosestpoint_tpu.models.icp import icp_register
+    from iterativeclosestpoint_tpu.ops.pallas_nn import make_pallas_nn_device
+    from iterativeclosestpoint_tpu.utils.synth import (
+        apply_transform_np,
+        random_rigid_transform,
+    )
+
+    rng = np.random.default_rng(11)
+    tgt = rng.uniform(-5, 5, (3000, 3))
+    T = random_rigid_transform(seed=2, max_yaw_deg=3.0,
+                               max_pitch_roll_deg=1.0, max_txy=0.2,
+                               max_tz=0.1)
+    src = apply_transform_np(np.linalg.inv(T), tgt) + rng.normal(
+        0, 0.01, tgt.shape)
+
+    offset = (tgt.min(axis=0) + tgt.max(axis=0)) / 2.0
+    tgtl = (tgt - offset).astype(np.float32)
+    prepared = make_pallas_nn_device(tgtl, resolution=8, kernel="zcol")
+    assert prepared[0].layout_group == "xy"
+    res_z = icp_register(
+        src, tgt, dtype=jnp.float32, prepared_nn=prepared,
+        max_iterations=10, tolerance=1e-9,
+    )
+    res_b = icp_register(
+        src, tgt, dtype=jnp.float32, nn_backend="bruteforce",
+        max_iterations=10, tolerance=1e-9,
+    )
+    assert res_z.iterations == res_b.iterations
+    np.testing.assert_allclose(res_z.history_rmse, res_b.history_rmse,
+                               rtol=1e-5)
+    np.testing.assert_allclose(res_z.transform, res_b.transform, atol=1e-5)

@@ -72,3 +72,157 @@ def test_tiny_halo_forces_collective_repair():
         jnp.asarray(res.transform), jnp.asarray(T_true), jnp.asarray(src)
     ))
     assert err < 1e-4
+
+
+def test_cross_device_tie_resolves_first_tie_order():
+    """Equidistant candidates held by DIFFERENT devices must resolve to
+    the target point that comes first in original target order — never to
+    an average of the two (round-1 VERDICT W2)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from iterativeclosestpoint_tpu.parallel.partition import (
+        _partitioned_nn_brute,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.uniform(-50, 50, (1000, 3))
+    B = np.array([[+1.0, 0.0, 200.0]])  # original index 1000 → slab 1
+    A = np.array([[-1.0, 0.0, 200.0]])  # original index 1001 → slab 0
+    tgt = np.concatenate([base, B, A])
+    mesh = make_mesh(n_devices=2)
+    part = build_partition(tgt, 2, halo=1e-3)
+    q = np.array([[0.0, 0.0, 200.0]] * 2)  # one query per device; tied
+
+    nn = _partitioned_nn_brute(64, 2, "dp", False)
+
+    def f(qd, halo, gidx, nrm, xlo, xhi):
+        return nn(qd, None, (halo[0], gidx[0], nrm[0], xlo[0], xhi[0]))
+
+    with mesh:
+        m, d = jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+            out_specs=(P("dp"), P("dp")),
+            check_vma=False,
+        )(jnp.asarray(q, jnp.float32), part.halo_pts, part.halo_idx,
+          part.halo_nrm, part.x_lo, part.x_hi)
+    # The matched point is EXACTLY B (first in target order) — not the
+    # midpoint (0, 0, 200) the round-1 combine would have produced.
+    np.testing.assert_array_equal(np.asarray(m), np.tile(B, (2, 1)))
+    np.testing.assert_allclose(np.asarray(d), 1.0, atol=1e-6)
+
+
+def test_partitioned_pallas_local_search_matches_brute():
+    """The per-slab Pallas slab-sweep local search (device-built grids)
+    must reproduce the brute local search trajectory."""
+    src, tgt, _ = make_registration_pair(n=2000, seed=132, noise_sigma=0.01,
+                                         kind="terrain")
+    mesh = make_mesh(n_devices=2)
+    kw = dict(mesh=mesh, dtype=jnp.float32, max_iterations=8,
+              tolerance=1e-9)
+    res_b = icp_register_partitioned(src, tgt, local_search="brute", **kw)
+    res_p = icp_register_partitioned(
+        src, tgt, local_search="pallas", grid_resolution=16, **kw
+    )
+    assert res_p.iterations == res_b.iterations
+    np.testing.assert_array_equal(res_p.history_valid, res_b.history_valid)
+    np.testing.assert_allclose(res_p.history_rmse, res_b.history_rmse,
+                               rtol=1e-5)
+    np.testing.assert_allclose(res_p.transform, res_b.transform, atol=1e-5)
+
+
+def test_partitioned_plane_estimator():
+    """estimator='plane' under partitioning: per-point normals ride the
+    slabs; convergence must reach the known transform."""
+    from iterativeclosestpoint_tpu.ops.se3 import transform_error
+
+    src, tgt, T_true = make_registration_pair(
+        n=4000, seed=133, noise_sigma=0.005, kind="terrain"
+    )
+    mesh = make_mesh(n_devices=4)
+    res = icp_register_partitioned(
+        src, tgt, mesh=mesh, dtype=jnp.float64, estimator="plane",
+        max_iterations=20,
+    )
+    assert res.success
+    err = float(transform_error(jnp.asarray(res.transform),
+                                jnp.asarray(T_true)))
+    assert err < 1e-3, err
+
+
+def test_partitioned_robust_tukey_beats_plain():
+    """Biased contamination inside the 3σ gate (the test_robust.py
+    scenario) under partitioning: tukey must reject the pull there too."""
+    from iterativeclosestpoint_tpu.utils.synth import (
+        apply_transform_np,
+        make_cloud,
+        random_rigid_transform,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 6000
+    tgt = make_cloud(n, seed=7)
+    T_true = random_rigid_transform(seed=5, max_yaw_deg=3.0,
+                                    max_pitch_roll_deg=1.5, max_txy=0.5,
+                                    max_tz=0.3)
+    src = apply_transform_np(np.linalg.inv(T_true), tgt)
+    src += rng.normal(0, 0.01, src.shape)
+    src[rng.choice(n, int(n * 0.2), replace=False), 0] += 0.25
+
+    mesh = make_mesh(n_devices=4)
+    kw = dict(mesh=mesh, dtype=jnp.float64, max_iterations=60,
+              tolerance=1e-9, return_registered=False)
+    plain = icp_register_partitioned(src, tgt, **kw)
+    rob = icp_register_partitioned(src, tgt, robust="tukey", **kw)
+
+    def _err(res):
+        return float(registration_error(
+            jnp.asarray(res.transform), jnp.asarray(T_true),
+            jnp.asarray(src),
+        ))
+
+    assert _err(rob) < _err(plain) * 0.05, (_err(rob), _err(plain))
+
+
+def test_partitioned_segmented_trajectory_identical():
+    """Segmented dispatch under partitioning is bit-identical to one long
+    dispatch (shares models.icp._run_segmented)."""
+    src, tgt, _ = make_registration_pair(n=1500, seed=135, noise_sigma=0.02)
+    mesh = make_mesh(n_devices=4)
+    kw = dict(mesh=mesh, dtype=jnp.float64, max_iterations=10,
+              tolerance=1e-9)
+    one = icp_register_partitioned(src, tgt, **kw)
+    seen = []
+    seg = icp_register_partitioned(
+        src, tgt, segment_iterations=4, progress_callback=seen.append, **kw
+    )
+    assert seg.iterations == one.iterations
+    assert len(seen) == one.iterations
+    np.testing.assert_array_equal(seg.history_rmse, one.history_rmse)
+    np.testing.assert_array_equal(seg.history_transform, one.history_transform)
+    np.testing.assert_array_equal(seg.source_registered, one.source_registered)
+
+
+def test_partitioned_initial_transform():
+    """A coarse initial transform pre-aligns the partition layout (the
+    production 10M recipe: coarse pass → partitioned fine pass)."""
+    from iterativeclosestpoint_tpu.models.multiscale import (
+        icp_register_multiscale,
+    )
+    from iterativeclosestpoint_tpu.ops.se3 import transform_error
+
+    src, tgt, T_true = make_registration_pair(n=3000, seed=136,
+                                              noise_sigma=0.01)
+    coarse = icp_register_multiscale(
+        src, tgt, strides=(8, 8), max_iterations=10, return_registered=False
+    )
+    mesh = make_mesh(n_devices=4)
+    res = icp_register_partitioned(
+        src, tgt, mesh=mesh, dtype=jnp.float64,
+        initial_transform=coarse.transform, max_iterations=20,
+    )
+    assert res.success
+    err = float(transform_error(jnp.asarray(res.transform),
+                                jnp.asarray(T_true)))
+    assert err < 1e-3, err

@@ -84,12 +84,14 @@ def test_checkpoint_resume_continues(tmp_path):
     )
     ckpt = load_checkpoint(tmp_path / "c.json")
     patch = resume_arguments(ckpt, max_iterations=40)
+    assert "resume_carry" in patch  # v2 checkpoints carry convergence state
     sess2 = RegistrationSession()
-    sess2.set_clouds(src, tgt)  # pristine source + saved transform
+    sess2.set_clouds(src, tgt)  # pristine source + saved carry
     res2 = sess2.run(
         config=ICPConfig(max_iterations=patch["max_iterations"],
                          nn_backend="bruteforce"),
-        initial_transform=patch["initial_transform"],
+        resume_carry=patch["resume_carry"],
+        iteration_base=ckpt["iteration"],
     )
     assert res2.success
     # Combined run converges at least as well as the prefix alone.

@@ -152,6 +152,114 @@ def test_midrun_checkpoint_then_resume(tmp_path):
     assert d.max() < 1e-3, d.max()
 
 
+def test_checkpoint_resume_bit_identical(tmp_path):
+    """Kill a live run mid-way; resume from the rolling checkpoint. The
+    concatenated trajectory must equal the uninterrupted run EXACTLY
+    (VERDICT W3): the checkpoint carries the full convergence state
+    (prev_error, no_improve) plus the local-frame cumulative transform,
+    and the loop recomputes the source from the pristine source via the
+    carried transform (composed apply), so no information is lost."""
+    from iterativeclosestpoint_tpu.runtime.checkpoint import (
+        load_checkpoint,
+        resume_arguments,
+    )
+    from iterativeclosestpoint_tpu.runtime.session import RegistrationSession
+    from iterativeclosestpoint_tpu.utils.config import ICPConfig
+
+    src, tgt, _ = _pair()
+    MAX = 40
+    cfg = ICPConfig(max_iterations=MAX, tolerance=1e-5,
+                    nn_backend="bruteforce")
+    full = icp_register(
+        src, tgt, dtype=jnp.float32, nn_backend="bruteforce",
+        max_iterations=MAX, tolerance=1e-5,
+    )
+    assert full.message == "converged"
+    assert full.iterations > 7  # the stop must interrupt before the end
+
+    sess = RegistrationSession()
+    sess.set_clouds(src, tgt)
+    ev = sess._stop_event
+    real_iter = sess.metrics.iteration
+
+    def stop_at_6(rec, total):
+        real_iter(rec, total)
+        if rec["iteration"] >= 6:
+            ev.set()
+
+    sess.metrics.iteration = stop_at_6
+    res1 = sess.run(config=cfg, live_every=3,
+                    checkpoint_path=tmp_path / "c.json")
+    assert res1.message == "stopped by user"
+    k = res1.iterations
+    assert 0 < k < full.iterations
+
+    ck = load_checkpoint(tmp_path / "c.json")
+    assert ck["iteration"] == k
+    assert "transform_local" in ck and "prev_error" in ck
+    patch = resume_arguments(ck, MAX)
+    assert "resume_carry" in patch
+    res2 = icp_register(
+        src, tgt, dtype=jnp.float32, nn_backend="bruteforce",
+        tolerance=1e-5, **patch,
+    )
+
+    # Converges at the same total iteration with the same reason, and the
+    # concatenated per-iteration records are bit-identical.
+    assert res2.message == full.message
+    assert k + res2.iterations == full.iterations
+    np.testing.assert_array_equal(
+        np.concatenate([res1.history_rmse, res2.history_rmse]),
+        full.history_rmse,
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([res1.history_valid, res2.history_valid]),
+        full.history_valid,
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([res1.history_transform, res2.history_transform]),
+        full.history_transform,
+    )
+    np.testing.assert_array_equal(
+        res2.source_registered, full.source_registered
+    )
+
+
+def test_resume_legacy_v1_checkpoint(tmp_path):
+    """A carry-less (version-1 style) checkpoint still resumes via
+    initial_transform with reset convergence counters."""
+    import json
+
+    from iterativeclosestpoint_tpu.runtime.checkpoint import (
+        load_checkpoint,
+        resume_arguments,
+    )
+
+    src, tgt, _ = _pair()
+    full = icp_register(
+        src, tgt, dtype=jnp.float32, nn_backend="bruteforce",
+        max_iterations=10, tolerance=1e-10,
+    )
+    payload = {
+        "version": 1,
+        "iteration": 4,
+        "transform": full.history_transform[3].tolist(),
+        "rmse_history": full.history_rmse[:4].tolist(),
+        "config": {},
+        "source_path": "",
+        "target_path": "",
+    }
+    (tmp_path / "v1.json").write_text(json.dumps(payload))
+    patch = resume_arguments(load_checkpoint(tmp_path / "v1.json"), 10)
+    assert "initial_transform" in patch and patch["max_iterations"] == 6
+    res = icp_register(
+        src, tgt, dtype=jnp.float32, nn_backend="bruteforce",
+        tolerance=1e-10, **patch,
+    )
+    d = np.abs(res.transform - full.transform)
+    assert d.max() < 1e-3, d.max()
+
+
 def test_session_request_stop_async():
     from iterativeclosestpoint_tpu.runtime.session import RegistrationSession
     from iterativeclosestpoint_tpu.utils.config import ICPConfig
