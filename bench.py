@@ -26,14 +26,19 @@ def log(*a):
 
 N_POINTS = int(os.environ.get("BENCH_N", 1_000_000))
 ITERS = int(os.environ.get("BENCH_ITERS", 20))
-BASELINE_N = int(os.environ.get("BENCH_BASELINE_N", min(N_POINTS, 500_000)))
+# Like-for-like: the CPU octree baseline runs the SAME N as the TPU
+# (round-1 W7 timed it at 500k and extrapolated; ~3 extra minutes of
+# bench time buys an apples-to-apples speedup figure).
+BASELINE_N = int(os.environ.get("BENCH_BASELINE_N", N_POINTS))
 
 
 def _measure_kernel_sol(src, tgt, log):
-    """Time the two hot kernels standalone on the bench workload and print
+    """Time the two hot stages standalone on the bench workload and print
     measured-SoL lines (BASELINE.md 'also report'). The NN kernel is timed
     at a registered (steady-state) pose — the pose the fine loop spends
-    its iterations at; the fused-moments kernel on the same N."""
+    its iterations at; the reject+moments stage (hot loop B) is the
+    XLA-fused form the production loop actually runs (a Pallas fusion was
+    measured not-faster; SCALING.md 'hot loop B waiver')."""
     import time
 
     import jax
@@ -42,7 +47,6 @@ def _measure_kernel_sol(src, tgt, log):
 
     from iterativeclosestpoint_tpu.models.icp import icp_register
     from iterativeclosestpoint_tpu.ops import pallas_nn as pn
-    from iterativeclosestpoint_tpu.ops.pallas_stats import fused_inlier_moments
     from iterativeclosestpoint_tpu.runtime.profiling import (
         covariance_kernel_report,
         nn_kernel_report,
@@ -94,10 +98,24 @@ def _measure_kernel_sol(src, tgt, log):
     thr = jnp.asarray(float(jnp.mean(dist)) + 3.0 * float(jnp.std(dist)),
                       jnp.float32)
     weight = jnp.ones(q_dev.shape[:1], jnp.float32)
+
+    @jax.jit
+    def xla_moments(src_, dst_, dist_, w_, thr_):
+        # Hot loop B as the production loop runs it: XLA-fused masked
+        # reductions (icpengine.cpp:263-337 in one pass).
+        hi = jax.lax.Precision.HIGHEST
+        v = jnp.logical_and(dist_ <= thr_, w_ > 0).astype(jnp.float32)
+        cnt = jnp.sum(v)
+        sum_d2 = jnp.sum(jnp.where(v > 0, dist_ * dist_, 0.0))
+        sum_s = jnp.dot(v, src_, precision=hi)
+        sum_t = jnp.dot(v, dst_, precision=hi)
+        M = jnp.dot((src_ * v[:, None]).T, dst_, precision=hi)
+        return cnt, sum_d2, sum_s, sum_t, M
+
     mo_dt, _ = _time_kernel(
-        lambda: fused_inlier_moments(q_dev, matched, dist, weight, thr))
+        lambda: xla_moments(q_dev, matched, dist, weight, thr))
     log(covariance_kernel_report(len(q_dev), mo_dt).line()
-        + "  [measured standalone]")
+        + "  [measured standalone, XLA-fused form]")
     return nn_dt, mo_dt
 
 
@@ -109,6 +127,16 @@ def main():
     from iterativeclosestpoint_tpu.utils.synth import make_registration_pair
 
     log(f"devices: {jax.devices()}")
+
+    # Cheap single-shape kernel-vs-brute exactness check FIRST: DMA
+    # alignment / SMEM / extraction regressions surface here, not 10
+    # minutes into the headline bench (VERDICT W5).
+    if os.environ.get("BENCH_SMOKE", "1") == "1":
+        from iterativeclosestpoint_tpu.runtime.smoke import kernel_smoke
+
+        for k, dt in kernel_smoke().items():
+            log(f"smoke[{k}]: kernel exact vs brute force OK")
+
     src, tgt, _ = make_registration_pair(
         n=N_POINTS, seed=7, noise_sigma=0.02, kind="terrain", extent=100.0
     )

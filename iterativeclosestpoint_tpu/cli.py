@@ -333,6 +333,17 @@ def cmd_settings(args) -> int:
     return 0
 
 
+def cmd_smoke(args) -> int:
+    """On-device kernel exactness smoke check (runtime/smoke.py): fast
+    evidence that the Pallas NN kernels produce exact 1-NN on this
+    backend before a long run or bench."""
+    from iterativeclosestpoint_tpu.runtime.smoke import kernel_smoke
+
+    for k, dt in kernel_smoke().items():
+        _print(f"smoke[{k}]: kernel exact vs brute force OK")
+    return 0
+
+
 def cmd_bench(args) -> int:
     try:
         import bench
@@ -472,6 +483,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    sm = sub.add_parser("smoke", help="on-device kernel exactness check")
+    sm.set_defaults(fn=cmd_smoke)
     return p
 
 

@@ -101,9 +101,11 @@ def icp_register_multiscale(
     # per run, icp_registration.cpp:857ff).
     device_data = prepared_nn = None
     fine_backend = fine_kwargs.get("nn_backend", "auto")
+    import jax as _jax
+
     if (
         overlap_prep
-        and mesh is None
+        and (mesh is None or _jax.process_count() == 1)
         and len(strides) > 1
         and dtype == jnp.float32
         and fine_kwargs.get("nn_fn") is None
@@ -155,8 +157,26 @@ def icp_register_multiscale(
                 src_fine = source
                 if T is not None:
                     src_fine = source @ T[:3, :3].T + T[:3, 3]
+                dd = device_data
+                if dd is not None and T is not None:
+                    # The prebuilt device source predates the coarse
+                    # transform; apply it on device (local frame).
+                    from iterativeclosestpoint_tpu.models.icp import (
+                        _rebase_transform,
+                    )
+                    from iterativeclosestpoint_tpu.ops.se3 import (
+                        apply_transform,
+                    )
+
+                    T_loc = _rebase_transform(T, -dd[2])
+                    src_dev = _jax.jit(apply_transform)(
+                        jnp.asarray(T_loc, jnp.float32), dd[0]
+                    )
+                    dd = (src_dev, dd[1], dd[2])
                 res = icp_register_sharded(
-                    src_fine, target, mesh=mesh, dtype=dtype, **fine_kwargs
+                    src_fine, target, mesh=mesh, dtype=dtype,
+                    device_data=dd, prepared_nn=prepared_nn,
+                    **fine_kwargs,
                 )
                 if T is not None:
                     res.transform = res.transform @ T

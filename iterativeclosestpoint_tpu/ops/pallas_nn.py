@@ -264,25 +264,39 @@ _ZRANGE_LADDER = (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
 def auto_zrange(
     target: np.ndarray,
     resolution: int,
-    z_window: int = 5,
+    tile_q: int = 128,
     floor: int = 256,
     cap: int = 4096,
 ) -> int:
     """Data-adaptive z-window row budget for the column kernel
     (``nn_colsweep_z``) — the z-axis analog of ``auto_trange``:
-    mass-weighted p99.9 of per-(x,y)-column ``z_window``-consecutive-cell
-    count sums, with a 4/3 margin for mid-loop layout aging, quantized up
-    onto a compile-reuse ladder."""
+    mass-weighted p99.9 of per-(x,y)-column w-consecutive-cell count
+    sums, with a 4/3 margin for mid-loop layout aging, quantized up onto
+    a compile-reuse ladder. Cells are ANISOTROPIC (per-axis extent/R),
+    matching the zcol grid build — cubic cells would leave a flat-box
+    cloud only a handful of occupied z-cells, making z-windows unable to
+    shrink below the slab itself.
+
+    The window width w is sized from the data: a tile's z-span is
+    ~tile_q / (points per occupied cell) cells, and the actual kernel
+    window is that span dilated by ±1 plus drift aging — measured on the
+    1M 'uniform' bench slab, a fixed w=5 undersized the budget (384) and
+    mass-decertified into a 19x repair storm, while the occupancy-derived
+    w=9 → 512 holds certification (the same cliff auto_trange exists to
+    remove on the x axis)."""
     target = np.asarray(target)
     R = resolution
     tmin = target.min(axis=0)
-    extent = float((target.max(axis=0) - tmin).max()) or 1.0
-    cell = max(extent / R, 1e-9)
+    cell = np.maximum((target.max(axis=0) - tmin) / R, 1e-9)
     stride = max(1, len(target) // _AUTO_TRANGE_SAMPLE_CAP)
     sampled = target[::stride]
     c = np.clip(((sampled - tmin) / cell).astype(np.int64), 0, R - 1)
     cid = (c[:, 0] * R + c[:, 1]) * R + c[:, 2]
     counts = (np.bincount(cid, minlength=R**3) * stride).reshape(R * R, R)
+    occ_cells = max(int((counts > 0).sum()), 1)
+    occ = max(len(target) / occ_cells, 1.0)   # points per occupied cell
+    span = int(np.ceil(tile_q / occ))          # expected tile z-span
+    z_window = span + 4                        # ±1 dilation + aging margin
     cs = np.concatenate(
         [np.zeros((R * R, 1), np.int64), np.cumsum(counts, axis=1)], axis=1
     )
@@ -538,13 +552,19 @@ def make_pallas_nn_device(
     # the data-adaptive slab range blows past the surface regime (volume
     # clouds: full-z columns sweep 4-16x too many rows), switch to the
     # z-window column kernel, whose per-(x,y) short DMAs track the tile's
-    # own z-span through the full R³ CSR.
+    # own z-span through the full R³ CSR — but only when its candidate
+    # count (12 slots × zrange) actually undercuts the sweep's
+    # (slabs × trange): an undersized budget is a certification cliff,
+    # an oversized one is slower than the sweep it replaces.
     if kernel == "auto":
-        kernel = "zcol" if (trange is None and trange_est >= 4096
-                            and resolution <= 128) else "sweep"
+        kernel = "sweep"
+        if trange is None and trange_est >= 4096 and resolution <= 128:
+            zr_est = auto_zrange(target_local, resolution, tile_q=tile_q)
+            if 12 * zr_est < 0.7 * slabs * trange_est:
+                kernel = "zcol"
     trange = trange_est
     if kernel == "zcol":
-        zrange = auto_zrange(target_local, resolution)
+        zrange = auto_zrange(target_local, resolution, tile_q=tile_q)
     tmin = target_local.min(axis=0)
     tmax = target_local.max(axis=0)
     if target_dev is None:
@@ -569,10 +589,13 @@ def make_pallas_nn_device(
     # halves the dispatch round-trips (measured 11.1 ms fused vs 16.4 ms
     # as two eager builds at 1M points).
     if kernel == "zcol":
+        # Anisotropic cells: per-axis extent/R (see auto_zrange — cubic
+        # cells starve flat-box clouds of z resolution).
+        cell3 = np.maximum((tmax - tmin) / resolution, 1e-9)
         grid, coarse = _build_zgrids_dev(
             target_dev,
             jnp.asarray(tmin, jnp.float32),
-            jnp.asarray(max(ext / resolution, 1e-9), jnp.float32),
+            jnp.asarray(cell3, jnp.float32),
             jnp.asarray(max(ext / coarse_resolution, 1e-9), jnp.float32),
             normals_dev,
             resolution=resolution,
@@ -1119,7 +1142,9 @@ def nn_colsweep_z(
     m_rows = grid.tgt_t.shape[1]
 
     q32 = query.astype(jnp.float32)
-    cs = grid.cell_size.astype(jnp.float32)
+    cs = jnp.broadcast_to(
+        grid.cell_size.astype(jnp.float32), (3,)
+    )  # anisotropic per-axis cells (flat-box clouds need fine z cells)
     org = grid.origin.astype(jnp.float32)
     qc_f = (q32 - org) / cs
     qcell = jnp.clip(jnp.floor(qc_f).astype(jnp.int32), 0, R - 1)
@@ -1160,8 +1185,9 @@ def nn_colsweep_z(
     for a in range(3):
         lo_c = minc[:, a:a + 1]
         hi_c = maxc[:, a:a + 1]
-        r_lo = jnp.where(lo_c <= 1, inf, pq[..., a] - (lo_c - 1) * cs)
-        r_hi = jnp.where(hi_c >= R - 2, inf, (hi_c + 2) * cs - pq[..., a])
+        r_lo = jnp.where(lo_c <= 1, inf, pq[..., a] - (lo_c - 1) * cs[a])
+        r_hi = jnp.where(hi_c >= R - 2, inf,
+                         (hi_c + 2) * cs[a] - pq[..., a])
         rs.append(jnp.minimum(r_lo, r_hi))
     radius = jnp.minimum(jnp.minimum(rs[0], rs[1]), rs[2]).reshape(n)
 

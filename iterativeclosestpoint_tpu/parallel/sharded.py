@@ -148,10 +148,16 @@ def icp_register_sharded(
     stop_event=None,
     resume_carry: Optional[dict | tuple] = None,
     segment_callback: Optional[Callable] = None,
+    device_data=None,
+    prepared_nn=None,
 ) -> ICPResult:
     """Multi-chip ICP registration (API mirror of models.icp.icp_register,
-    including ``estimator``/``robust`` and the segmented-dispatch surface:
-    live progress, cooperative stop, checkpoints, bit-identical resume).
+    including ``estimator``/``robust``, the segmented-dispatch surface
+    (live progress, cooperative stop, checkpoints, bit-identical resume)
+    and the overlapped device prep (``device_data``/``prepared_nn`` from
+    ops.pallas_nn.make_pallas_nn_device — grids stay on device and are
+    replicated over the mesh without a host round-trip; single-process
+    meshes only).
 
     The source is padded to a device multiple with zero-weight rows (which
     no statistic ever sees) and sharded along the mesh's ``dp`` axis.
@@ -165,38 +171,95 @@ def icp_register_sharded(
     source = np.asarray(source, np.float64)
     target = np.asarray(target, np.float64)
     n_orig = len(source)
-    offset = (
-        (target.min(axis=0) + target.max(axis=0)) / 2.0
-        if center
-        else np.zeros(3)
-    )
+    if device_data is not None:
+        offset = np.asarray(device_data[2], np.float64)
+    else:
+        offset = (
+            (target.min(axis=0) + target.max(axis=0)) / 2.0
+            if center
+            else np.zeros(3)
+        )
 
-    src_np = source - offset
-    nn_fn, nn_state, rows, row_weight = _default_nn(
-        nn_backend, src_np, target - offset, dtype,
-        grid_resolution, cell_capacity, estimator,
-    )
-    if rows is not None:
-        # Cell-sorted order also makes each device's shard spatially
-        # compact (the dp shards inherit the tile layout).
-        src_np = src_np[rows]
-    src_pad, w = pad_to_multiple(src_np.astype(dtype), n_dev)
-    if row_weight is not None:
-        # Grouped-layout padding rows stay zero-weight under the device
-        # padding too.
-        w = w.copy()
-        w[: len(row_weight)] = row_weight
-
-    # Global device arrays: a plain put on one process; in multi-process
-    # (jax.distributed) mode each process fills its addressable shards
-    # from its full host copy — shard_map's multi-controller contract.
     dp = mesh_dp_axes(mesh)
-    src_dev = to_global(src_pad, mesh, P(dp))
-    w_dev = to_global(w, mesh, P(dp))
-    tgt_dev = to_global((target - offset).astype(dtype), mesh, P())
-    nn_state = jax.tree.map(
-        lambda a: to_global(np.asarray(a), mesh, P()), nn_state
-    )
+    row_weight = None
+    if prepared_nn is not None:
+        if jax.process_count() > 1:
+            raise ValueError(
+                "prepared_nn is single-process only (device-to-device "
+                "resharding); multi-process runs use the host build path"
+            )
+        nn_fn, nn_state, resolution = prepared_nn
+        if getattr(nn_fn, "with_normals", False) != (estimator == "plane"):
+            raise ValueError(
+                "prepared_nn normals do not match the estimator — rebuild "
+                "the factory with with_normals accordingly"
+            )
+        from jax.sharding import NamedSharding
+
+        from iterativeclosestpoint_tpu.ops.pallas_nn import (
+            grouped_tile_order_device,
+        )
+
+        if device_data is not None:
+            src_loc = device_data[0].astype(dtype)
+            tgt_loc = device_data[1].astype(dtype)
+        else:
+            src_loc = jnp.asarray((source - offset).astype(dtype))
+            tgt_loc = jnp.asarray((target - offset).astype(dtype))
+        grid0 = nn_state[0]
+        tq = getattr(nn_fn, "tile_q", 128)
+        rows_d, lw = grouped_tile_order_device(
+            src_loc, grid0.origin, grid0.cell_size, resolution=resolution,
+            tile_q=tq, group=getattr(nn_fn, "layout_group", "x"),
+        )
+        # Pad so every dp shard is a whole number of query tiles.
+        unit = tq * n_dev
+        total = rows_d.shape[0]
+        pad = (-total) % unit
+        if pad:
+            rows_d = jnp.concatenate(
+                [rows_d, jnp.broadcast_to(rows_d[-1:], (pad,))]
+            )
+            lw = jnp.concatenate([lw, jnp.zeros((pad,), lw.dtype)])
+        src_l = src_loc[rows_d]
+        # Device-to-device resharding onto the mesh (no host round-trip).
+        src_dev = jax.device_put(src_l, NamedSharding(mesh, P(dp)))
+        w_dev = jax.device_put(
+            lw.astype(dtype), NamedSharding(mesh, P(dp))
+        )
+        tgt_dev = jax.device_put(tgt_loc, NamedSharding(mesh, P()))
+        nn_state = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P())), nn_state
+        )
+        rows = np.asarray(rows_d)
+        row_weight = np.asarray(lw)
+    else:
+        src_np = source - offset
+        nn_fn, nn_state, rows, row_weight = _default_nn(
+            nn_backend, src_np, target - offset, dtype,
+            grid_resolution, cell_capacity, estimator,
+        )
+        if rows is not None:
+            # Cell-sorted order also makes each device's shard spatially
+            # compact (the dp shards inherit the tile layout).
+            src_np = src_np[rows]
+        src_pad, w = pad_to_multiple(src_np.astype(dtype), n_dev)
+        if row_weight is not None:
+            # Grouped-layout padding rows stay zero-weight under the
+            # device padding too.
+            w = w.copy()
+            w[: len(row_weight)] = row_weight
+
+        # Global device arrays: a plain put on one process; in
+        # multi-process (jax.distributed) mode each process fills its
+        # addressable shards from its full host copy — shard_map's
+        # multi-controller contract.
+        src_dev = to_global(src_pad, mesh, P(dp))
+        w_dev = to_global(w, mesh, P(dp))
+        tgt_dev = to_global((target - offset).astype(dtype), mesh, P())
+        nn_state = jax.tree.map(
+            lambda a: to_global(a, mesh, P()), nn_state
+        )
 
     carry = None
     widen = mode == "gui"

@@ -84,12 +84,16 @@ def nn_kernel_report(
 def covariance_kernel_report(
     n_points: int, elapsed_s: float, chip: ChipSpec = V5E
 ) -> KernelReport:
-    """Roofline of the fused rejection+moments kernel (ops/pallas_stats.py):
-    one streaming read of (src, dst, dist, weight) = 2×(8,TILE) f32 per
-    point-slot, ~30 flops/point (mask, 5 masked sums, 9-term outer)."""
+    """Roofline of the rejection+moments stage (hot loop B,
+    icpengine.cpp:263-337 as one pass): one streaming read of
+    (src, matched, dist, weight) ≈ 28 B/point, ~30 flops/point (mask,
+    5 masked sums, 9-term outer). The production loop runs this stage as
+    XLA-fused reductions — a hand-written Pallas fusion was measured NOT
+    faster (see SCALING.md 'hot loop B waiver'), so the report is a
+    roofline check on the XLA form."""
     flops = n_points * 30.0
-    bytes_hbm = n_points * (2 * 8 * 4)
-    return KernelReport("fused-moments", elapsed_s, flops, bytes_hbm, chip)
+    bytes_hbm = n_points * (7 * 4)
+    return KernelReport("reject+moments", elapsed_s, flops, bytes_hbm, chip)
 
 
 @contextlib.contextmanager

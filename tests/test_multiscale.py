@@ -112,3 +112,28 @@ def test_multiscale_sharded_fine_level():
         )
     )
     assert err < 1e-3, f"registration error {err}"
+
+
+def test_multiscale_mesh_overlap_prep_matches():
+    """Under a mesh, the fine level reuses the overlapped device grids
+    (round-1 W8: it used to re-pay host builds); trajectory must match
+    the host-built path."""
+    from iterativeclosestpoint_tpu.parallel.mesh import make_mesh
+
+    src, tgt, _ = make_registration_pair(n=4000, seed=40, noise_sigma=0.01,
+                                         kind="terrain")
+    mesh = make_mesh(n_devices=4)
+    kw = dict(mesh=mesh, dtype=jnp.float32, nn_backend="pallas",
+              max_iterations=8, tolerance=1e-9, coarse_max_points=1000)
+    r_host = icp_register_multiscale(src, tgt, overlap_device_prep=False,
+                                     **kw)
+    r_dev = icp_register_multiscale(src, tgt, overlap_device_prep=True,
+                                    **kw)
+    assert r_dev.final.iterations == r_host.final.iterations
+    np.testing.assert_allclose(r_dev.final.history_rmse,
+                               r_host.final.history_rmse, rtol=1e-4)
+    np.testing.assert_allclose(r_dev.transform, r_host.transform, atol=1e-4)
+    np.testing.assert_allclose(
+        r_dev.final.source_registered, r_host.final.source_registered,
+        atol=1e-4,
+    )
