@@ -558,9 +558,14 @@ def make_pallas_nn_device(
     # an oversized one is slower than the sweep it replaces.
     if kernel == "auto":
         kernel = "sweep"
-        if trange is None and trange_est >= 4096 and resolution <= 128:
+        if trange is None and trange_est >= 2048 and resolution <= 128:
             zr_est = auto_zrange(target_local, resolution, tile_q=tile_q)
-            if 12 * zr_est < 0.7 * slabs * trange_est:
+            # Effective zcol cost includes the (x,y)-group layout's query
+            # padding (each of the R² groups pads to a tile multiple).
+            pad = 1.0 + (resolution**2 * (tile_q - 1) / 2) / max(
+                len(target_local), 1
+            )
+            if 12 * zr_est * pad < 0.7 * slabs * trange_est:
                 kernel = "zcol"
     trange = trange_est
     if kernel == "zcol":

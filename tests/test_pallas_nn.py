@@ -615,3 +615,22 @@ def test_zcol_full_registration_matches_brute():
     np.testing.assert_allclose(res_z.history_rmse, res_b.history_rmse,
                                rtol=1e-5)
     np.testing.assert_allclose(res_z.transform, res_b.transform, atol=1e-5)
+
+
+def test_kernel_auto_selection_by_regime():
+    """kernel='auto' picks the x-slab sweep on surfaces and the z-column
+    kernel on volumes (only when its candidate budget actually wins)."""
+    from iterativeclosestpoint_tpu.models.icp import icp_register
+    from iterativeclosestpoint_tpu.ops.pallas_nn import make_pallas_nn_device
+    from iterativeclosestpoint_tpu.utils.synth import make_cloud
+
+    terrain = make_cloud(60_000, seed=1, kind="terrain", extent=50.0)
+    terrain = (terrain - terrain.mean(0)).astype(np.float32)
+    fn_t, _, _ = make_pallas_nn_device(terrain)
+    assert fn_t.layout_group == "x"  # sweep
+
+    rng = np.random.default_rng(0)
+    vol = rng.uniform(-50, 50, (400_000, 3)).astype(np.float32)
+    vol[:, 2] *= 0.2  # the 10:10:1 bench box
+    fn_v, _, _ = make_pallas_nn_device(vol)
+    assert fn_v.layout_group == "xy"  # z-column kernel
