@@ -64,6 +64,9 @@ DIVERGED = 2
 TOO_FEW_VALID = 3
 MAX_ITERATIONS = 4
 STOPPED = 5  # cooperative user stop (registrationservice.cpp:215-220)
+NUMERICAL_ERROR = 6  # non-finite statistics/pose (icpengine.cpp:208-218
+#                      logs NaN/Inf distances; here it is a stop reason —
+#                      the device-loop NaN guard, SURVEY §5 sanitizers)
 
 _STOP_MESSAGES = {
     CONVERGED: "converged",
@@ -71,6 +74,7 @@ _STOP_MESSAGES = {
     TOO_FEW_VALID: "insufficient valid pairs",
     MAX_ITERATIONS: "max iterations reached",
     STOPPED: "stopped by user",
+    NUMERICAL_ERROR: "numerical error (non-finite statistics or pose)",
 }
 
 
@@ -319,17 +323,25 @@ def icp_core_impl(
             iteration_statistics(dist, weight, sig, widen_first, it == 0, ps)
         )
 
+        # Non-finite guard (sanitizer analog, SURVEY §5): NaN coordinates
+        # poison every comparison below (NaN compares false → the loop
+        # would run to max_iterations recording garbage). The reference
+        # logs NaN/Inf distances (icpengine.cpp:208-218); here they stop
+        # the run with an explicit reason and no corrupted record.
+        numerr = ~jnp.isfinite(rmse + mean + std)
+
         # Convergence / divergence / degeneracy — checked before the pose
         # update, in the reference's order (icpengine.cpp:286-323).
         improvement = s["prev_error"] - rmse
         small = jnp.abs(improvement) < tol
         no_improve = jnp.where(small, s["no_improve"] + 1, 0)
         converged = jnp.logical_and(small, no_improve >= 3)
+        converged = jnp.logical_and(converged, ~numerr)
         diverged = jnp.logical_and(~converged, rmse > s["prev_error"] * 1.1)
         too_few = jnp.logical_and(
             jnp.logical_and(~converged, ~diverged), valid_count < 3
         )
-        will_update = ~(converged | diverged | too_few)
+        will_update = ~(converged | diverged | too_few | numerr)
 
         # Masked pose update — always evaluated (fixed cost), selected below.
         # Robust modes soften the binary mask into M-estimator weights
@@ -379,6 +391,9 @@ def icp_core_impl(
             # from data every iteration instead of accumulating ~50
             # rounded 4×4 products (which cost ~1e-4 m at UTM scale).
             T_cand = _kabsch_global(source, dst_matched, upd_w, ps)
+        # Degenerate fits (SVD of a non-finite/rank-collapsed H) also stop.
+        numerr = numerr | ~jnp.all(jnp.isfinite(T_cand))
+        will_update = will_update & ~numerr
         T_cum_new = jnp.where(will_update, T_cand, s["T_cum"])
 
         # History write: converged records the *previous* cumulative
@@ -390,9 +405,16 @@ def icp_core_impl(
             return jnp.where(record, arr.at[it].set(val), arr)
 
         stop = jnp.where(
-            converged,
-            CONVERGED,
-            jnp.where(diverged, DIVERGED, jnp.where(too_few, TOO_FEW_VALID, RUNNING)),
+            numerr,
+            NUMERICAL_ERROR,
+            jnp.where(
+                converged,
+                CONVERGED,
+                jnp.where(
+                    diverged, DIVERGED,
+                    jnp.where(too_few, TOO_FEW_VALID, RUNNING),
+                ),
+            ),
         ).astype(jnp.int32)
 
         return {
@@ -1051,7 +1073,7 @@ def package_result(out, offset, return_registered: bool = True) -> ICPResult:
 
     k = int(out["recorded"])
     stop = int(out["stop"])
-    success = stop not in (TOO_FEW_VALID, STOPPED)
+    success = stop not in (TOO_FEW_VALID, STOPPED, NUMERICAL_ERROR)
 
     def rebase(T_local: np.ndarray) -> np.ndarray:
         return _rebase_transform(T_local, offset)

@@ -1223,7 +1223,7 @@ def nn_colsweep_z(
     static_argnames=(
         "resolution", "coarse_resolution", "tile_q", "slabs", "trange",
         "coarse_trange", "coarse_budget", "brute_batch", "brute_passes",
-        "global_fallback", "fine", "xy_slots",
+        "global_fallback", "fine", "xy_slots", "return_certified",
     ),
 )
 def nn_colsweep_exact(
@@ -1245,9 +1245,17 @@ def nn_colsweep_exact(
     global_fallback: bool = True,
     fine: str = "sweep",
     xy_slots: int = 12,
+    return_certified: bool = False,
 ):
     """Exact NN: fine kernel → coarse-kernel repair → budgeted brute →
     global cond fallback.
+
+    ``return_certified=True`` appends a per-query certainty mask: True
+    when the result is PROVEN exact (kernel certificate, coarse-repair
+    certificate, or brute-force repair within budget). Only budget
+    overflow with ``global_fallback=False`` leaves False rows. The
+    partitioned-target path uses this to compose the slab-local chain
+    with its halo-margin certificate.
 
     Uncertified fine-level queries (tile-geometry stragglers, moderate
     misalignments) are compacted and re-searched with the *same* kernel on
@@ -1417,6 +1425,17 @@ def nn_colsweep_exact(
 
     matched = m_t.reshape(n, 6)
     dist = d_t.reshape(n)
+    if return_certified:
+        if global_fallback:
+            cert_q = jnp.ones((n,), bool)
+        else:
+            # Brute repair fixes the first kmax bad tiles in tile order
+            # (stable compaction) — those rows are exact too.
+            rank = jnp.cumsum(bad_tile2.astype(jnp.int32)) - 1
+            tile_fixed = bad_tile2 & (rank < kmax)
+            cert_q = (c_t | tile_fixed[:, None]).reshape(n)
+        return (matched[:n_in, 0:3], matched[:n_in, 3:6], dist[:n_in],
+                cert_q[:n_in])
     return matched[:n_in, 0:3], matched[:n_in, 3:6], dist[:n_in]
 
 

@@ -238,10 +238,15 @@ def _partitioned_nn_pallas(
     trange: int,
     slabs: int,
     tile_q: int,
+    coarse_resolution: int,
+    coarse_trange: int,
 ):
-    """NN closure: per-device slab-sweep kernel + margin certificate +
-    collective repair (kernel-uncertified / tied queries repair too)."""
-    from iterativeclosestpoint_tpu.ops.pallas_nn import nn_colsweep
+    """NN closure: the full single-chip exact chain per slab (fine
+    slab-sweep → coarse-grid repair → budgeted local brute,
+    ops/pallas_nn.nn_colsweep_exact) composed with the halo-margin
+    certificate; only margin failures and local-budget overflow reach the
+    collective repair."""
+    from iterativeclosestpoint_tpu.ops.pallas_nn import nn_colsweep_exact
 
     repair = _collective_repair(
         axis_name, repair_budget, repair_passes, with_normals
@@ -249,14 +254,18 @@ def _partitioned_nn_pallas(
 
     def nn(query, target_local, state):
         del target_local
-        halo, gidx, nrm, x_lo, x_hi, grid = state
-        m3, knrm, dist, cert_k = nn_colsweep(
-            query, grid, resolution=resolution, tile_q=tile_q,
-            slabs=slabs, trange=trange,
+        halo, gidx, nrm, x_lo, x_hi, grid, coarse_grid = state
+        m3, knrm, dist, cert = nn_colsweep_exact(
+            query, halo, grid, coarse_grid,
+            nrm if with_normals else None,
+            resolution=resolution, coarse_resolution=coarse_resolution,
+            trange=trange, coarse_trange=coarse_trange,
+            slabs=slabs, tile_q=tile_q,
+            global_fallback=False, return_certified=True,
         )
         m6 = jnp.concatenate([m3, knrm], axis=1)
         margin = jnp.minimum(query[:, 0] - x_lo, x_hi - query[:, 0])
-        certified = cert_k & (dist.astype(jnp.float32) < margin)
+        certified = cert & (dist.astype(jnp.float32) < margin)
         m6, dist = repair(query, m6, dist, certified, halo, gidx, nrm)
         if with_normals:
             return m6[:, 0:3], dist, m6[:, 3:6]
@@ -282,10 +291,13 @@ def _icp_core_partitioned(
     slabs: int = 4, tile_q: int = 128,
 ):
     with_normals = estimator == "plane"
+    coarse_resolution = max(resolution // 4, 8)
+    coarse_trange = 16384
     if local_search == "pallas":
         nn = _partitioned_nn_pallas(
             repair_budget, repair_passes, "dp", with_normals,
             resolution, trange, slabs, tile_q,
+            coarse_resolution, coarse_trange,
         )
     else:
         nn = _partitioned_nn_brute(
@@ -324,6 +336,14 @@ def _icp_core_partitioned(
                 normals=(nrm[0] if with_normals else None), mask_far=True,
             )
             state.append(grid)
+            cell_c = jnp.maximum(
+                jnp.max(hi3 - lo3) / coarse_resolution, 1e-9
+            )
+            state.append(_build_grid_dev(
+                halo0, lo3, cell_c, resolution=coarse_resolution,
+                trange=coarse_trange,
+                normals=(nrm[0] if with_normals else None), mask_far=True,
+            ))
             # X-group-aligned query layout against THIS device's grid
             # (once per dispatch — the layout is pose-robust; see
             # ops/pallas_nn.grouped_tile_order).

@@ -99,3 +99,20 @@ def test_too_few_valid_fails_gracefully():
     # 2 valid points < 3 → reference emits finished(false).
     assert res.stop_reason == 3
     assert not res.success
+
+
+def test_nonfinite_input_stops_with_numerical_error():
+    """Device-loop NaN guard (sanitizer analog, SURVEY §5): a NaN
+    coordinate must stop the run with an explicit reason instead of
+    looping to max_iterations on poisoned statistics (the reference logs
+    NaN/Inf distances, icpengine.cpp:208-218)."""
+    from iterativeclosestpoint_tpu.models.icp import NUMERICAL_ERROR
+
+    src, tgt, _ = make_registration_pair(n=1000, seed=8)
+    src = src.copy()
+    src[13, 1] = np.nan
+    res = icp_register(src, tgt, dtype=jnp.float64, max_iterations=10)
+    assert res.stop_reason == NUMERICAL_ERROR
+    assert not res.success
+    assert "numerical error" in res.message
+    assert res.iterations == 0  # nothing corrupted was recorded

@@ -634,3 +634,40 @@ def test_kernel_auto_selection_by_regime():
     vol[:, 2] *= 0.2  # the 10:10:1 bench box
     fn_v, _, _ = make_pallas_nn_device(vol)
     assert fn_v.layout_group == "xy"  # z-column kernel
+
+
+def test_return_certified_marks_exact_rows():
+    """return_certified: True rows are PROVEN exact vs brute force; with
+    tiny repair budgets and no global fallback some rows may stay False
+    (budget overflow), but never falsely certified."""
+    from iterativeclosestpoint_tpu.ops.pallas_nn import (
+        grouped_tile_order_device,
+        make_pallas_nn,
+        nn_colsweep_exact,
+    )
+
+    rng = np.random.default_rng(12)
+    tgt = make_cloud(20_000, seed=5, kind="terrain", extent=30.0)
+    tgt = (tgt - tgt.mean(0)).astype(np.float32)
+    q = (tgt[rng.choice(len(tgt), 3000, replace=False)]
+         + rng.normal(0, 2.0, (3000, 3)).astype(np.float32))  # big offsets
+    _, state, R = make_pallas_nn(tgt, resolution=16)
+    grid, coarse, _ = state
+    rows, w = grouped_tile_order_device(
+        jnp.asarray(q, jnp.float32), grid.origin, grid.cell_size,
+        resolution=R)
+    ql = jnp.asarray(q, jnp.float32)[rows]
+    m3, nrm, d, cert = nn_colsweep_exact(
+        ql, jnp.asarray(tgt), grid, coarse, resolution=R,
+        coarse_resolution=max(R // 4, 8), trange=2048,
+        brute_batch=256, brute_passes=1, global_fallback=False,
+        return_certified=True,
+    )
+    bi, bd = nn_bruteforce(ql, jnp.asarray(tgt))
+    bm = np.asarray(jnp.asarray(tgt)[bi])
+    real = np.asarray(w) > 0
+    sel = np.asarray(cert) & real
+    assert sel.sum() > 0
+    np.testing.assert_array_equal(np.asarray(m3)[sel], bm[sel])
+    np.testing.assert_allclose(np.asarray(d)[sel], np.asarray(bd)[sel],
+                               rtol=1e-6, atol=1e-6)
