@@ -44,14 +44,17 @@ def main():
         n=N, seed=7, noise_sigma=0.02, kind="terrain", extent=100.0
     )
 
-    # Coarse alignment (the production 10M recipe: coarse first, so the
-    # partition layout and certificates start aligned).
-    stride = max(1, -(-N // 30_000))
-    coarse = icp_register(
-        src[::stride], tgt[::stride], dtype=jnp.float32,
-        max_iterations=15, tolerance=1e-4, return_registered=False,
-    )
-    print(f"coarse: rmse={coarse.rmse:.4f}", flush=True)
+    # Coarse alignment via the full multiscale ladder (the production 10M
+    # recipe: each level starts within its grid's cell size, so the
+    # partition layout and certificates start aligned — a single
+    # stride-334 coarse leaves ~0.5 m of residual, which mass-decertifies
+    # an R=256 fine grid whose cells are 0.78 m).
+    coarse = icp_register_multiscale(
+        src, tgt, dtype=jnp.float32, nn_backend="pallas",
+        estimator="plane", max_iterations=8, tolerance=1e-7,
+        return_registered=False,
+    ).final
+    print(f"ladder init: rmse={coarse.rmse:.4f}", flush=True)
 
     mesh = make_mesh()
     print(f"mesh: {mesh.devices.size} device(s)", flush=True)

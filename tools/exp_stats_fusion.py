@@ -12,8 +12,9 @@ exists but is not in the production loop; BASELINE config 3 names a
      with result-dependent drift between iterations so XLA cannot hoist
      loop-invariant work. Δ(2-1) = stats cost as actually fused by XLA
      into the iteration; Δ(3-2) = fit cost.
-  B. Standalone: the two-pass XLA stats+moments vs the fused Pallas
-     kernel on identical inputs.
+  B. Standalone: the two-pass XLA stats+moments form (round 2 also
+     compared the round-1 Pallas fused kernel here before deleting it —
+     5.70 vs 5.27 ms at 1M; SCALING.md "hot loop B waiver").
 
 If XLA's in-loop cost is already within noise of the streaming roofline
 (~0.15 ms for 28 MB of correspondence data at 819 GB/s), the Pallas
@@ -38,10 +39,6 @@ from iterativeclosestpoint_tpu.models.icp import (  # noqa: E402
     iteration_statistics,
 )
 from iterativeclosestpoint_tpu.ops import pallas_nn as pn  # noqa: E402
-from iterativeclosestpoint_tpu.ops.pallas_stats import (  # noqa: E402
-    fused_inlier_moments,
-    rigid_from_fused_moments,
-)
 from iterativeclosestpoint_tpu.ops.se3 import apply_transform  # noqa: E402
 from iterativeclosestpoint_tpu.utils.synth import (  # noqa: E402
     make_registration_pair,
@@ -159,15 +156,10 @@ def main():
     dt_x = timeit(lambda: xla_stats(q_dev, m3, d, w_dev, thr_v), reps=5)
     print(f"standalone XLA stats+moments+fit: {dt_x*1e3:.2f} ms", flush=True)
 
-    @jax.jit
-    def pallas_stats(src_, dst_, dist_, w_, thr_):
-        cnt, sum_d2, sum_s, sum_t, M = fused_inlier_moments(
-            src_, dst_, dist_, w_, thr_)
-        return rigid_from_fused_moments(cnt, sum_s, sum_t, M), cnt, sum_d2
-
-    dt_p = timeit(lambda: pallas_stats(q_dev, m3, d, w_dev, thr_v), reps=5)
-    print(f"standalone Pallas fused-moments+fit: {dt_p*1e3:.2f} ms",
-          flush=True)
+    # Historical note: this experiment also timed the round-1 Pallas
+    # fused_inlier_moments kernel on the same inputs (5.70 ms vs 5.27 ms
+    # for the XLA form above, 1M points). The kernel was deleted after
+    # the waiver decision (SCALING.md "hot loop B waiver").
     roofline = (q_dev.size * 4 * 2 + q_dev.shape[0] * 8) / 819e9
     print(f"streaming roofline for the pass: {roofline*1e3:.2f} ms",
           flush=True)
