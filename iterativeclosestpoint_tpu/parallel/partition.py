@@ -66,6 +66,11 @@ _FAR = 1.0e6
 _IMAX = np.int32(2**31 - 1)
 
 
+def _coarse_params(resolution: int) -> tuple[int, int]:
+    """Coarse repair-grid params shared by prep and the NN closure."""
+    return max(resolution // 4, 8), 16384
+
+
 class PartitionState(NamedTuple):
     halo_pts: jnp.ndarray   # (D, M_loc, 3) per-device slab+halo (far-padded)
     halo_idx: jnp.ndarray   # (D, M_loc) original target index (pad: INT_MAX)
@@ -111,6 +116,65 @@ def build_partition(
         x_lo=jnp.asarray(los, dtype),
         x_hi=jnp.asarray(his, dtype),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "resolution", "trange", "tile_q", "with_normals",
+    ),
+)
+def _prepare_partitioned(
+    source, weight, part: PartitionState, *, mesh: Mesh, resolution: int,
+    trange: int, tile_q: int, with_normals: bool,
+):
+    """One-time per-run prep: per-device slab grids (fine + coarse) and
+    the x-group-aligned source layout, built ON DEVICE under shard_map.
+
+    All of it is pose-invariant (the target never moves; the query layout
+    is pose-robust — ops/pallas_nn.grouped_tile_order), so under segmented
+    dispatch (the ≥2M watchdog guard) hoisting it here removes two
+    M_loc-row stable sorts + an N_loc-row sort from EVERY segment — the
+    bulk of the measured 10× partitioned-vs-single fine-loop gap at 10M.
+    """
+    from iterativeclosestpoint_tpu.ops.pallas_nn import (
+        _build_grid_dev,
+        grouped_tile_order_device,
+    )
+
+    coarse_resolution, coarse_trange = _coarse_params(resolution)
+
+    def prep(src, w, halo, nrm):
+        halo0 = halo[0]
+        nrm0 = nrm[0] if with_normals else None
+        # Per-device grid geometry from the slab's own (dynamic) bbox;
+        # _FAR padding rows sort past the last cell (mask_far).
+        real = halo0[:, 0] < _FAR * 0.5
+        big = jnp.asarray(_FAR, jnp.float32)
+        lo3 = jnp.min(jnp.where(real[:, None], halo0, big), axis=0)
+        hi3 = jnp.max(jnp.where(real[:, None], halo0, -big), axis=0)
+        cell = jnp.maximum(jnp.max(hi3 - lo3) / resolution, 1e-9)
+        grid = _build_grid_dev(
+            halo0, lo3, cell, resolution=resolution, trange=trange,
+            normals=nrm0, mask_far=True,
+        )
+        cell_c = jnp.maximum(jnp.max(hi3 - lo3) / coarse_resolution, 1e-9)
+        cgrid = _build_grid_dev(
+            halo0, lo3, cell_c, resolution=coarse_resolution,
+            trange=coarse_trange, normals=nrm0, mask_far=True,
+        )
+        rows, lw = grouped_tile_order_device(
+            src, lo3, cell, resolution=resolution, tile_q=tile_q
+        )
+        expand = lambda g: jax.tree.map(lambda x: x[None], g)
+        return src[rows], w[rows] * lw, expand(grid), expand(cgrid)
+
+    return jax.shard_map(
+        prep, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=P("dp"),
+        check_vma=False,
+    )(source, weight, part.halo_pts, part.halo_nrm)
 
 
 def _collective_repair(
@@ -283,7 +347,7 @@ def _partitioned_nn_pallas(
     ),
 )
 def _icp_core_partitioned(
-    source, weight, part: PartitionState, carry=None, *,
+    source, weight, part: PartitionState, carry=None, prep=None, *,
     max_iterations: int, tolerance, sigma_multiplier, widen_first: bool,
     repair_budget: int, repair_passes: int, mesh: Mesh,
     estimator: str = "point", robust: str = "none",
@@ -291,9 +355,13 @@ def _icp_core_partitioned(
     slabs: int = 4, tile_q: int = 128,
 ):
     with_normals = estimator == "plane"
-    coarse_resolution = max(resolution // 4, 8)
-    coarse_trange = 16384
+    coarse_resolution, coarse_trange = _coarse_params(resolution)
     if local_search == "pallas":
+        if prep is None:
+            raise ValueError(
+                "local_search='pallas' requires the _prepare_partitioned "
+                "output (grids + layout are built once per run)"
+            )
         nn = _partitioned_nn_pallas(
             repair_budget, repair_passes, "dp", with_normals,
             resolution, trange, slabs, tile_q,
@@ -312,70 +380,63 @@ def _icp_core_partitioned(
             jnp.asarray(0, jnp.int32),
         )
 
-    def device_fn(src, w, halo, gidx, nrm, x_lo, x_hi, carry_):
-        halo0 = halo[0]
-        state = [halo0, gidx[0], nrm[0], x_lo[0], x_hi[0]]
-        src_run = src
-        weight_run = w
-        rows = None
-        if local_search == "pallas":
-            from iterativeclosestpoint_tpu.ops.pallas_nn import (
-                _build_grid_dev,
-                grouped_tile_order_device,
-            )
+    if local_search == "pallas":
+        src_run_g, w_run_g, grid_g, cgrid_g = prep
 
-            # Per-device grid geometry from the slab's own (dynamic) bbox;
-            # _FAR padding rows sort past the last cell (mask_far).
-            real = halo0[:, 0] < _FAR * 0.5
-            big = jnp.asarray(_FAR, jnp.float32)
-            lo3 = jnp.min(jnp.where(real[:, None], halo0, big), axis=0)
-            hi3 = jnp.max(jnp.where(real[:, None], halo0, -big), axis=0)
-            cell = jnp.maximum(jnp.max(hi3 - lo3) / resolution, 1e-9)
-            grid = _build_grid_dev(
-                halo0, lo3, cell, resolution=resolution, trange=trange,
-                normals=(nrm[0] if with_normals else None), mask_far=True,
+        def device_fn(src, src_run, w_run, halo, gidx, nrm, x_lo, x_hi,
+                      grid, cgrid, carry_):
+            state = (
+                halo[0], gidx[0], nrm[0], x_lo[0], x_hi[0],
+                jax.tree.map(lambda x: x[0], grid),
+                jax.tree.map(lambda x: x[0], cgrid),
             )
-            state.append(grid)
-            cell_c = jnp.maximum(
-                jnp.max(hi3 - lo3) / coarse_resolution, 1e-9
+            out = icp_core_impl(
+                src_run, w_run, jnp.zeros((1, 3), src.dtype), state,
+                nn_fn=nn, max_iterations=max_iterations,
+                tolerance=tolerance, sigma_multiplier=sigma_multiplier,
+                widen_first=widen_first, axis_name="dp",
+                estimator=estimator, robust=robust, carry=carry_,
             )
-            state.append(_build_grid_dev(
-                halo0, lo3, cell_c, resolution=coarse_resolution,
-                trange=coarse_trange,
-                normals=(nrm[0] if with_normals else None), mask_far=True,
-            ))
-            # X-group-aligned query layout against THIS device's grid
-            # (once per dispatch — the layout is pose-robust; see
-            # ops/pallas_nn.grouped_tile_order).
-            rows, lw = grouped_tile_order_device(
-                src, lo3, cell, resolution=resolution, tile_q=tile_q
-            )
-            src_run = src[rows]
-            weight_run = w[rows] * lw
-
-        out = icp_core_impl(
-            src_run, weight_run, jnp.zeros((1, 3), src.dtype), tuple(state),
-            nn_fn=nn, max_iterations=max_iterations, tolerance=tolerance,
-            sigma_multiplier=sigma_multiplier, widen_first=widen_first,
-            axis_name="dp", estimator=estimator, robust=robust,
-            carry=carry_,
-        )
-        if rows is not None:
             # Emit the registered shard in the caller's row order (the
             # layout permutation is internal to the NN).
             from iterativeclosestpoint_tpu.ops.se3 import apply_transform
 
             out = dict(out)
             out["src"] = apply_transform(out["T_cum"], src)
-        return out
+            return out
 
     out_specs = {k: P() for k in (
         "T_cum", "prev_error", "no_improve", "iter", "stop", "recorded",
         "h_rmse", "h_valid", "h_out", "h_T", "h_mean", "h_std", "h_thr",
     )}
     out_specs["src"] = P("dp")
+    if local_search == "pallas":
+        return jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(
+                P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                P("dp"), P("dp"), P("dp"), P("dp"), P(),
+            ),
+            out_specs=out_specs,
+            check_vma=False,
+        )(
+            source, src_run_g, w_run_g, part.halo_pts, part.halo_idx,
+            part.halo_nrm, part.x_lo, part.x_hi, grid_g, cgrid_g, carry,
+        )
+
+    def device_fn_brute(src, w, halo, gidx, nrm, x_lo, x_hi, carry_):
+        state = (halo[0], gidx[0], nrm[0], x_lo[0], x_hi[0])
+        return icp_core_impl(
+            src, w, jnp.zeros((1, 3), src.dtype), state,
+            nn_fn=nn, max_iterations=max_iterations, tolerance=tolerance,
+            sigma_multiplier=sigma_multiplier, widen_first=widen_first,
+            axis_name="dp", estimator=estimator, robust=robust,
+            carry=carry_,
+        )
+
     return jax.shard_map(
-        device_fn,
+        device_fn_brute,
         mesh=mesh,
         in_specs=(
             P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
@@ -451,12 +512,24 @@ def icp_register_partitioned(
 
     normals = None
     if estimator == "plane":
+        # Device normals build + one pull: the host cell-PCA allocates
+        # O(R³) f64 moment arrays — ~2 minutes of numpy at 10M/R=256,
+        # vs ~2 s on device including the tunnel pull (and it matches
+        # the single-chip prepared path's builder).
         from iterativeclosestpoint_tpu.ops.normals import (
-            estimate_normals_cellpca,
+            estimate_normals_cellpca_device,
         )
 
-        normals = estimate_normals_cellpca(
-            tgt_local, auto_resolution_data(tgt_local)
+        r0 = auto_resolution_data(tgt_local)
+        tmin = tgt_local.min(axis=0)
+        ext0 = float((tgt_local.max(axis=0) - tmin).max()) or 1.0
+        normals = np.asarray(
+            estimate_normals_cellpca_device(
+                jnp.asarray(tgt_local, jnp.float32),
+                jnp.asarray(tmin, jnp.float32),
+                jnp.asarray(max(ext0 / r0, 1e-9), jnp.float32),
+                resolution=r0,
+            )
         ).astype(dtype)
 
     # Sort source by x so equal-count shards line up with the target's
@@ -501,6 +574,13 @@ def icp_register_partitioned(
     src_dev = jnp.asarray(src_pad)
     w_dev = jnp.asarray(w)
 
+    prep = None
+    if local_search == "pallas":
+        prep = _prepare_partitioned(
+            src_dev, w_dev, part, mesh=mesh, resolution=resolution,
+            trange=trange, tile_q=128, with_normals=(estimator == "plane"),
+        )
+
     widen = mode == "gui"
     if not segment_iterations and n_orig >= 2_000_000:
         per_chip = max(n_orig // max(n_dev, 1), 1)
@@ -515,7 +595,7 @@ def icp_register_partitioned(
 
     def dispatch(carry_, seg_n, widen_):
         return _icp_core_partitioned(
-            src_dev, w_dev, part, carry_,
+            src_dev, w_dev, part, carry_, prep,
             max_iterations=seg_n, widen_first=widen_, **static,
         )
 
