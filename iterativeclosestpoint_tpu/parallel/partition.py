@@ -80,15 +80,11 @@ class PartitionState(NamedTuple):
     x_hi: jnp.ndarray       # (D,) halo upper x-limit per device
 
 
-def build_partition(
-    target: np.ndarray, n_dev: int, halo: float, dtype=np.float32,
-    normals: "np.ndarray | None" = None,
-) -> PartitionState:
-    """Host-side: x-quantile slabs + halo, padded to a common size."""
-    target = np.asarray(target)
+def _slab_selection(target: np.ndarray, n_dev: int, halo: float):
+    """Host-side slab row selection: x-quantile walls ± halo (x only —
+    cheap even at 10M+ rows)."""
     qs = np.quantile(target[:, 0], np.linspace(0, 1, n_dev + 1))
     qs[0], qs[-1] = -np.inf, np.inf
-
     sels = []
     los = np.empty(n_dev)
     his = np.empty(n_dev)
@@ -99,6 +95,16 @@ def build_partition(
         sels.append(sel)
         los[d] = lo
         his[d] = hi
+    return sels, los, his
+
+
+def build_partition(
+    target: np.ndarray, n_dev: int, halo: float, dtype=np.float32,
+    normals: "np.ndarray | None" = None,
+) -> PartitionState:
+    """Host-side: x-quantile slabs + halo, padded to a common size."""
+    target = np.asarray(target)
+    sels, los, his = _slab_selection(target, n_dev, halo)
     m_loc = max(len(s) for s in sels)
     m_loc = -(-m_loc // 128) * 128
     buf = np.full((n_dev, m_loc, 3), _FAR, dtype)
@@ -115,6 +121,84 @@ def build_partition(
         halo_nrm=jnp.asarray(nrm),
         x_lo=jnp.asarray(los, dtype),
         x_hi=jnp.asarray(his, dtype),
+    )
+
+
+def build_partition_device(
+    target: np.ndarray, n_dev: int, halo: float, mesh: Mesh,
+    with_normals: bool = False, sels=None, los=None, his=None,
+) -> PartitionState:
+    """Device-side slab assembly: upload the target ONCE, gather slabs
+    (and plane normals) on device.
+
+    The host variant uploads (D, M_loc) slab copies + normals and — in
+    plane mode — round-trips the device-built normals through the host:
+    ~5× the target's bytes over the host↔device link (at 10M points
+    behind this environment's 58 MB/s tunnel, ~10 s per registration).
+    Here the host ships the (N,3) f32 target plus one (D, M_loc) int32
+    row-index table; the slab buffers, original-index table, and cell-PCA
+    normals (estimate_normals_cellpca_device) are produced by gathers
+    inside a shard_map. f32-only (the TPU path). Note the full target is
+    transiently materialized per device during the gather — for targets
+    so large that this breaks per-chip HBM, use the host build.
+    """
+    target = np.asarray(target)
+    n = len(target)
+    if sels is None:
+        sels, los, his = _slab_selection(target, n_dev, halo)
+    m_loc = max(len(s) for s in sels)
+    m_loc = -(-m_loc // 128) * 128
+    # Sentinel n points one past the real rows → the appended pad row.
+    idx = np.full((n_dev, m_loc), n, np.int32)
+    for d, s in enumerate(sels):
+        idx[d, : len(s)] = s.astype(np.int32)
+
+    tgt_dev = jnp.asarray(target.astype(np.float32))
+    idx_dev = jnp.asarray(idx)
+    if with_normals:
+        from iterativeclosestpoint_tpu.ops.normals import (
+            estimate_normals_cellpca_device,
+        )
+
+        r0 = auto_resolution_data(target)
+        tmin = target.min(axis=0)
+        ext0 = float((target.max(axis=0) - tmin).max()) or 1.0
+        nrm_dev = estimate_normals_cellpca_device(
+            tgt_dev,
+            jnp.asarray(tmin, jnp.float32),
+            jnp.asarray(max(ext0 / r0, 1e-9), jnp.float32),
+            resolution=r0,
+        )
+    else:
+        nrm_dev = None
+
+    def g(tgt_, nrm_, idx_):
+        i = idx_[0]
+        tp = jnp.concatenate(
+            [tgt_, jnp.full((1, 3), _FAR, jnp.float32)], axis=0
+        )
+        hp = tp[i][None]
+        hi = jnp.where(i < n, i, _IMAX)[None]
+        if not with_normals:
+            hn = jnp.zeros((1, idx_.shape[1], 3), jnp.float32)
+            return hp, hn, hi
+        npad = jnp.concatenate(
+            [nrm_, jnp.zeros((1, 3), jnp.float32)], axis=0
+        )
+        return hp, npad[i][None], hi
+
+    if nrm_dev is None:  # unused placeholder keeps one shard_map shape
+        nrm_dev = jnp.zeros((1, 3), jnp.float32)
+    halo_pts, halo_nrm, halo_idx = jax.jit(jax.shard_map(
+        g, mesh=mesh, in_specs=(P(), P(), P("dp")), out_specs=P("dp"),
+        check_vma=False,
+    ))(tgt_dev, nrm_dev, idx_dev)
+    return PartitionState(
+        halo_pts=halo_pts,
+        halo_idx=halo_idx,
+        halo_nrm=halo_nrm,
+        x_lo=jnp.asarray(los, jnp.float32),
+        x_hi=jnp.asarray(his, jnp.float32),
     )
 
 
@@ -465,6 +549,7 @@ def icp_register_partitioned(
     estimator: str = "point",
     robust: str = "none",
     local_search: str = "auto",
+    partition_build: str = "auto",
     grid_resolution: Optional[int] = None,
     dtype=jnp.float32,
     center: bool = True,
@@ -483,7 +568,10 @@ def icp_register_partitioned(
 
     ``local_search``: "auto" picks the Pallas slab-sweep kernel on TPU
     when a slab is too large for the all-pairs form, XLA brute force
-    otherwise. ``estimator``/``robust`` mirror models.icp.icp_register
+    otherwise. ``partition_build``: "auto" assembles the slab buffers on
+    device on TPU/f32 (build_partition_device — one target upload instead
+    of ~5× its bytes of slab/normal traffic), host build otherwise.
+    ``estimator``/``robust`` mirror models.icp.icp_register
     (plane mode partitions per-point normals alongside the slabs).
     ``segment_iterations``/callbacks/stop mirror the segmented-dispatch
     surface (auto-enabled ≥2M points — the TPU-worker watchdog guard).
@@ -510,36 +598,52 @@ def icp_register_partitioned(
     if halo is None:
         halo = 0.02 * float((tgt_local.max(0) - tgt_local.min(0)).max())
 
-    normals = None
-    if estimator == "plane":
-        # Device normals build + one pull: the host cell-PCA allocates
-        # O(R³) f64 moment arrays — ~2 minutes of numpy at 10M/R=256,
-        # vs ~2 s on device including the tunnel pull (and it matches
-        # the single-chip prepared path's builder).
-        from iterativeclosestpoint_tpu.ops.normals import (
-            estimate_normals_cellpca_device,
-        )
-
-        r0 = auto_resolution_data(tgt_local)
-        tmin = tgt_local.min(axis=0)
-        ext0 = float((tgt_local.max(axis=0) - tmin).max()) or 1.0
-        normals = np.asarray(
-            estimate_normals_cellpca_device(
-                jnp.asarray(tgt_local, jnp.float32),
-                jnp.asarray(tmin, jnp.float32),
-                jnp.asarray(max(ext0 / r0, 1e-9), jnp.float32),
-                resolution=r0,
-            )
-        ).astype(dtype)
-
     # Sort source by x so equal-count shards line up with the target's
     # x-quantile slabs (the clouds nearly coincide after coarse alignment);
     # residual mismatch is absorbed by the halo + collective repair.
     perm = np.argsort(src_local[:, 0], kind="stable")
     src_sorted = src_local[perm]
-    part = build_partition(tgt_local, n_dev, halo, dtype=dtype,
-                           normals=normals)
-    m_loc = part.halo_pts.shape[1]
+
+    sels, los, his = _slab_selection(tgt_local, n_dev, halo)
+    m_loc = -(-max(len(s) for s in sels) // 128) * 128
+
+    if partition_build == "auto":
+        use_device_build = (
+            jax.default_backend() == "tpu"
+            and jnp.dtype(dtype) == jnp.float32
+        )
+    else:
+        use_device_build = partition_build == "device"
+
+    if use_device_build:
+        part = build_partition_device(
+            tgt_local, n_dev, halo, mesh,
+            with_normals=(estimator == "plane"),
+            sels=sels, los=los, his=his,
+        )
+    else:
+        normals = None
+        if estimator == "plane":
+            # Device normals build + one pull (the host cell-PCA
+            # allocates O(R³) f64 moment arrays — ~2 min of numpy at
+            # 10M/R=256, vs ~2 s on device including the tunnel pull).
+            from iterativeclosestpoint_tpu.ops.normals import (
+                estimate_normals_cellpca_device,
+            )
+
+            r0 = auto_resolution_data(tgt_local)
+            tmin = tgt_local.min(axis=0)
+            ext0 = float((tgt_local.max(axis=0) - tmin).max()) or 1.0
+            normals = np.asarray(
+                estimate_normals_cellpca_device(
+                    jnp.asarray(tgt_local, jnp.float32),
+                    jnp.asarray(tmin, jnp.float32),
+                    jnp.asarray(max(ext0 / r0, 1e-9), jnp.float32),
+                    resolution=r0,
+                )
+            ).astype(dtype)
+        part = build_partition(tgt_local, n_dev, halo, dtype=dtype,
+                               normals=normals)
 
     if local_search == "auto":
         local_search = (
@@ -555,16 +659,15 @@ def icp_register_partitioned(
             auto_trange,
         )
 
-        # Shared static grid params: per-slab data-adaptive estimates,
-        # maxed across devices and ladder-quantized (compile reuse).
-        buf = np.asarray(part.halo_pts)
-        slabs_real = [buf[d][buf[d, :, 0] < _FAR * 0.5] for d in range(n_dev)]
+        # Shared static grid params: per-slab data-adaptive estimates
+        # from the HOST slices (pulling the assembled slab buffers back
+        # through the tunnel costs ~2 s at 10M), maxed across devices and
+        # ladder-quantized (compile reuse).
+        slabs_real = [tgt_local[s] for s in sels if len(s)]
         resolution = grid_resolution or max(
-            auto_resolution_data(s) for s in slabs_real if len(s)
+            auto_resolution_data(s) for s in slabs_real
         )
-        trange = max(
-            auto_trange(s, resolution) for s in slabs_real if len(s)
-        )
+        trange = max(auto_trange(s, resolution) for s in slabs_real)
         for step in _TRANGE_LADDER:
             if trange <= step:
                 trange = step

@@ -132,6 +132,43 @@ def test_partitioned_pallas_local_search_matches_brute():
     np.testing.assert_allclose(res_p.transform, res_b.transform, atol=1e-5)
 
 
+def test_partition_device_build_matches_host():
+    """build_partition_device (one target upload + on-device slab gather,
+    the TPU fixed-cost path) must reproduce the host assembly exactly —
+    same slab buffers, original-index tables, and ICP trajectory — in
+    point AND plane mode."""
+    from iterativeclosestpoint_tpu.parallel.partition import (
+        build_partition_device,
+    )
+
+    src, tgt, _ = make_registration_pair(n=2500, seed=140, noise_sigma=0.01,
+                                         kind="terrain")
+    mesh = make_mesh(n_devices=4)
+    offset = (tgt.min(axis=0) + tgt.max(axis=0)) / 2.0
+    tl = tgt - offset
+    halo = 0.02 * float((tl.max(0) - tl.min(0)).max())
+    p_host = build_partition(tl, 4, halo, dtype=np.float32)
+    p_dev = build_partition_device(tl, 4, halo, mesh)
+    np.testing.assert_array_equal(np.asarray(p_dev.halo_pts),
+                                  np.asarray(p_host.halo_pts))
+    np.testing.assert_array_equal(np.asarray(p_dev.halo_idx),
+                                  np.asarray(p_host.halo_idx))
+
+    for est in ("point", "plane"):
+        kw = dict(mesh=mesh, dtype=jnp.float32, max_iterations=10,
+                  tolerance=1e-9, estimator=est)
+        r_host = icp_register_partitioned(
+            src, tgt, partition_build="host", **kw
+        )
+        r_dev = icp_register_partitioned(
+            src, tgt, partition_build="device", **kw
+        )
+        assert r_dev.iterations == r_host.iterations
+        np.testing.assert_array_equal(r_dev.history_rmse,
+                                      r_host.history_rmse)
+        np.testing.assert_array_equal(r_dev.transform, r_host.transform)
+
+
 def test_partitioned_plane_estimator():
     """estimator='plane' under partitioning: per-point normals ride the
     slabs; convergence must reach the known transform."""
