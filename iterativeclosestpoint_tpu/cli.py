@@ -92,6 +92,7 @@ def cmd_run(args) -> int:
         res = sess.run(
             config=cfg,
             multiscale=args.multiscale,
+            parallel=args.parallel,
             checkpoint_path=args.checkpoint,
             initial_transform=initial,
             live_every=args.live_every,
@@ -402,6 +403,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "statistics keep the reference's 3-sigma mask)")
     r.add_argument("--multiscale", action="store_true",
                    help="coarse-to-fine pyramid (replaces stride downsample)")
+    r.add_argument("--parallel", choices=["none", "dp", "partition"],
+                   default="none",
+                   help="multi-device dispatch over the local mesh: 'dp' "
+                        "shards source rows; 'partition' shards the target "
+                        "into x-slabs (targets beyond per-chip HBM)")
     r.add_argument("--live-every", dest="live_every", type=int, default=0,
                    metavar="K",
                    help="stream per-iteration progress every K iterations "

@@ -55,6 +55,7 @@ def icp_register_multiscale(
     coarse_tolerance: float = 1e-4,
     dtype=jnp.float32,
     mesh=None,
+    fine_path: str = "auto",
     initial_transform: Optional[np.ndarray] = None,
     **fine_kwargs,
 ) -> MultiscaleResult:
@@ -67,9 +68,16 @@ def icp_register_multiscale(
       mesh: optional device mesh — the full-resolution level then runs
         data-parallel (parallel.icp_register_sharded); coarse levels are
         small and stay single-device.
+      fine_path: "auto" (sharded iff mesh given, else single-device),
+        "partitioned" (fine level = parallel.icp_register_partitioned:
+        the target sharded into x-slabs over the mesh — the production
+        composition for targets beyond per-chip HBM; the ladder's coarse
+        transform pre-aligns the partition layout).
       fine_kwargs: forwarded to the final full-resolution registration
         (nn_backend, max_iterations, tolerance, mode, ...).
     """
+    if fine_path not in ("auto", "partitioned"):
+        raise ValueError(f"unknown fine_path {fine_path!r}")
     source = np.asarray(source, np.float64)
     target = np.asarray(target, np.float64)
     n = len(source)
@@ -105,6 +113,7 @@ def icp_register_multiscale(
 
     if (
         overlap_prep
+        and fine_path != "partitioned"  # builds its own per-slab grids
         and (mesh is None or _jax.process_count() == 1)
         and len(strides) > 1
         and dtype == jnp.float32
@@ -148,7 +157,25 @@ def icp_register_multiscale(
     for li, stride in enumerate(strides):
         last = li == len(strides) - 1
         if last:
-            if mesh is not None:
+            if fine_path == "partitioned":
+                from iterativeclosestpoint_tpu.parallel.partition import (
+                    icp_register_partitioned,
+                )
+
+                allowed = (
+                    "halo", "repair_budget", "repair_passes",
+                    "max_iterations", "tolerance", "sigma_multiplier",
+                    "mode", "estimator", "robust", "local_search",
+                    "partition_build", "grid_resolution", "center",
+                    "return_registered", "segment_iterations",
+                    "progress_callback", "stop_event", "segment_callback",
+                )
+                pk = {k: v for k, v in fine_kwargs.items() if k in allowed}
+                res = icp_register_partitioned(
+                    source, target, mesh=mesh, dtype=dtype,
+                    initial_transform=T, **pk,
+                )
+            elif mesh is not None:
                 from iterativeclosestpoint_tpu.parallel.sharded import (
                     icp_register_sharded,
                 )

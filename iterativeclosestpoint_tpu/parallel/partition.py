@@ -124,6 +124,34 @@ def build_partition(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "with_normals"))
+def _gather_slabs(tgt, nrm, idx, *, mesh: Mesh, with_normals: bool):
+    """Module-level jit (cache survives across registrations — a
+    per-call jax.jit object recompiles through this environment's remote
+    compile service on EVERY run, ~9 s at 10M)."""
+
+    def g(tgt_, nrm_, idx_):
+        n = tgt_.shape[0]
+        i = idx_[0]
+        tp = jnp.concatenate(
+            [tgt_, jnp.full((1, 3), _FAR, jnp.float32)], axis=0
+        )
+        hp = tp[i][None]
+        hi = jnp.where(i < n, i, _IMAX)[None]
+        if not with_normals:
+            hn = jnp.zeros((1, idx_.shape[1], 3), jnp.float32)
+            return hp, hn, hi
+        npad = jnp.concatenate(
+            [nrm_, jnp.zeros((1, 3), jnp.float32)], axis=0
+        )
+        return hp, npad[i][None], hi
+
+    return jax.shard_map(
+        g, mesh=mesh, in_specs=(P(), P(), P("dp")), out_specs=P("dp"),
+        check_vma=False,
+    )(tgt, nrm, idx)
+
+
 def build_partition_device(
     target: np.ndarray, n_dev: int, halo: float, mesh: Mesh,
     with_normals: bool = False, sels=None, los=None, his=None,
@@ -172,27 +200,11 @@ def build_partition_device(
     else:
         nrm_dev = None
 
-    def g(tgt_, nrm_, idx_):
-        i = idx_[0]
-        tp = jnp.concatenate(
-            [tgt_, jnp.full((1, 3), _FAR, jnp.float32)], axis=0
-        )
-        hp = tp[i][None]
-        hi = jnp.where(i < n, i, _IMAX)[None]
-        if not with_normals:
-            hn = jnp.zeros((1, idx_.shape[1], 3), jnp.float32)
-            return hp, hn, hi
-        npad = jnp.concatenate(
-            [nrm_, jnp.zeros((1, 3), jnp.float32)], axis=0
-        )
-        return hp, npad[i][None], hi
-
     if nrm_dev is None:  # unused placeholder keeps one shard_map shape
         nrm_dev = jnp.zeros((1, 3), jnp.float32)
-    halo_pts, halo_nrm, halo_idx = jax.jit(jax.shard_map(
-        g, mesh=mesh, in_specs=(P(), P(), P("dp")), out_specs=P("dp"),
-        check_vma=False,
-    ))(tgt_dev, nrm_dev, idx_dev)
+    halo_pts, halo_nrm, halo_idx = _gather_slabs(
+        tgt_dev, nrm_dev, idx_dev, mesh=mesh, with_normals=with_normals,
+    )
     return PartitionState(
         halo_pts=halo_pts,
         halo_idx=halo_idx,

@@ -140,6 +140,7 @@ def icp_register_sharded(
     cell_capacity: Optional[int] = None,
     estimator: str = "point",
     robust: str = "none",
+    initial_transform=None,
     dtype=jnp.float32,
     center: bool = True,
     return_registered: bool = True,
@@ -171,6 +172,20 @@ def icp_register_sharded(
     source = np.asarray(source, np.float64)
     target = np.asarray(target, np.float64)
     n_orig = len(source)
+    T_init = None
+    if initial_transform is not None:
+        if resume_carry is not None:
+            raise ValueError(
+                "initial_transform cannot combine with resume_carry (the "
+                "carry's transform already includes any initial pose)"
+            )
+        if device_data is not None:
+            raise ValueError(
+                "initial_transform with device_data: apply the transform "
+                "to the device source instead (models/multiscale.py does)"
+            )
+        T_init = np.asarray(initial_transform, np.float64)
+        source = source @ T_init[:3, :3].T + T_init[:3, 3]
     if device_data is not None:
         offset = np.asarray(device_data[2], np.float64)
     else:
@@ -338,4 +353,10 @@ def icp_register_sharded(
     res = package_result(out, offset, return_registered)
     if rows is not None:
         res = apply_permutation(res, rows, row_weight, len(source))
+    if T_init is not None:
+        res.transform = res.transform @ T_init
+        res.history_transform = res.history_transform @ T_init
+        # Local carry predates the composed-in initial pose.
+        res.carry_transform_local = None
+        res.center_offset = None
     return res

@@ -95,6 +95,7 @@ class RegistrationSession:
         self,
         config: Optional[ICPConfig] = None,
         multiscale: bool = False,
+        parallel: str = "none",
         checkpoint_path: Optional[str | Path] = None,
         initial_transform=None,
         live_every: int = 0,
@@ -108,7 +109,13 @@ class RegistrationSession:
         iterations: per-iteration records stream to the metrics log as
         they happen (the reference's iterationCompleted signal) and
         ``request_stop()`` takes effect at slice boundaries (the
-        reference's cooperative m_shouldStop, icpengine.cpp:160-164)."""
+        reference's cooperative m_shouldStop, icpengine.cpp:160-164).
+
+        ``parallel``: "none" (single device), "dp" (source rows sharded
+        over the local mesh, parallel.icp_register_sharded), "partition"
+        (target x-slabs over the mesh, parallel.icp_register_partitioned
+        — for targets beyond per-chip HBM). Resume under "partition" is
+        pose-exact only (the convergence counters reset)."""
         if self.source is None or self.target is None:
             raise RuntimeError("load source and target clouds first")
         if self._running:
@@ -163,10 +170,51 @@ class RegistrationSession:
             self.metrics.log("========== starting ICP registration ==========")
             self.metrics.log(f"source: {len(self.source)} points")
             self.metrics.log(f"target: {len(self.target)} points")
+            if parallel not in ("none", "dp", "partition"):
+                raise ValueError(f"unknown parallel mode {parallel!r}")
+            mesh = None
+            if parallel != "none":
+                from iterativeclosestpoint_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh()
+                self.metrics.log(
+                    f"parallel={parallel}: {mesh.devices.size}-device mesh"
+                )
             t0 = time.perf_counter()
             if multiscale:
-                ms = icp_register_multiscale(self.source, self.target, **kwargs)
+                ms_kw = dict(kwargs)
+                if parallel == "dp":
+                    ms_kw["mesh"] = mesh
+                elif parallel == "partition":
+                    ms_kw.update(mesh=mesh, fine_path="partitioned")
+                ms = icp_register_multiscale(self.source, self.target,
+                                             **ms_kw)
                 result = ms.final
+            elif parallel == "dp":
+                from iterativeclosestpoint_tpu.parallel.sharded import (
+                    icp_register_sharded,
+                )
+
+                result = icp_register_sharded(
+                    self.source, self.target, mesh=mesh, **kwargs
+                )
+            elif parallel == "partition":
+                from iterativeclosestpoint_tpu.parallel.partition import (
+                    icp_register_partitioned,
+                )
+
+                pk = {k: v for k, v in kwargs.items() if k != "nn_backend"}
+                rc = pk.pop("resume_carry", None)
+                if rc is not None:
+                    pk["initial_transform"] = np.asarray(
+                        rc["transform"] if isinstance(rc, dict) else rc[0]
+                    )
+                    self.metrics.log(
+                        "partition resume: pose-exact (counters reset)"
+                    )
+                result = icp_register_partitioned(
+                    self.source, self.target, mesh=mesh, **pk
+                )
             else:
                 result = icp_register(self.source, self.target, **kwargs)
             dt = time.perf_counter() - t0

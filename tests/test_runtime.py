@@ -228,3 +228,61 @@ def test_cli_graph(tmp_path, capsys):
         np.testing.assert_allclose(rec, base, atol=5e-3)
     mpts, _ = read_las(merged)
     assert len(mpts) == 3 * len(base)
+
+
+def test_session_parallel_modes(tmp_path):
+    """`parallel='dp'|'partition'` routes through the multi-device paths
+    and matches the single-device trajectory on the virtual mesh."""
+    sess, sp, tp, _ = _session_with_pair(tmp_path, seed=101)
+    cfg = ICPConfig(max_iterations=12, nn_backend="bruteforce")
+    base = sess.run(config=cfg)
+    for mode in ("dp", "partition"):
+        s2 = RegistrationSession()
+        s2.load_source(sp)
+        s2.load_target(tp)
+        res = s2.run(config=cfg, parallel=mode)
+        assert res.success, mode
+        assert res.iterations == base.iterations, mode
+        np.testing.assert_allclose(res.transform, base.transform,
+                                   atol=1e-5, err_msg=mode)
+
+
+def test_cli_run_parallel(tmp_path):
+    sp, tp = tmp_path / "s.las", tmp_path / "t.las"
+    assert cli_main(["synth", str(sp), str(tp), "--n", "1200",
+                     "--seed", "9"]) == 0
+    out = tmp_path / "reg.las"
+    rc = cli_main([
+        "run", str(sp), str(tp), "-o", str(out), "--parallel", "dp",
+        "--max-iterations", "10", "--nn-backend", "bruteforce",
+    ])
+    assert rc == 0 and out.exists()
+    rc = cli_main([
+        "run", str(sp), str(tp), "-o", str(out), "--parallel", "partition",
+        "--multiscale", "--max-iterations", "10",
+    ])
+    assert rc == 0
+
+
+def test_multiscale_partitioned_fine_path():
+    """fine_path='partitioned': the ladder's coarse transform pre-aligns
+    the partitioned fine level (the 10M production composition)."""
+    import jax.numpy as jnp
+
+    from iterativeclosestpoint_tpu.models.multiscale import (
+        icp_register_multiscale,
+    )
+    from iterativeclosestpoint_tpu.ops.se3 import transform_error
+    from iterativeclosestpoint_tpu.parallel.mesh import make_mesh
+
+    src, tgt, T_true = make_registration_pair(n=3000, seed=102,
+                                              noise_sigma=0.01)
+    mesh = make_mesh(n_devices=4)
+    ms = icp_register_multiscale(
+        src, tgt, mesh=mesh, fine_path="partitioned", strides=(8, 1),
+        max_iterations=20, return_registered=False,
+    )
+    assert ms.final.success
+    err = float(transform_error(jnp.asarray(ms.transform),
+                                jnp.asarray(T_true)))
+    assert err < 1e-3, err
