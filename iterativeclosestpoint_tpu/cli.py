@@ -114,6 +114,9 @@ def cmd_run(args) -> int:
         _print(f"transform report written to {report_txt}")
     if args.history:
         _append_history(args.history, sess.history[-1])
+    if args.html:
+        sess.export_html(args.html)
+        _print(f"interactive viewer written to {args.html}")
     return 0 if res.success else 1
 
 
@@ -187,6 +190,25 @@ def cmd_view(args) -> int:
     tgt, _ = read_las(args.target)
     rmse = None
     title = f"{Path(args.source).name} vs {Path(args.target).name}"
+    if Path(args.output).suffix.lower() in (".html", ".htm"):
+        # Interactive WebGL viewer (the reference's QOpenGLWidget
+        # counterpart): orbit/pan/zoom + iteration replay slider driven
+        # by the embedded history transforms.
+        from iterativeclosestpoint_tpu.runtime.htmlviz import (
+            export_interactive_html,
+        )
+
+        history = None
+        if args.history:
+            from iterativeclosestpoint_tpu.runtime.metrics import (
+                read_history_json,
+            )
+
+            history = read_history_json(args.history)["history"]
+        export_interactive_html(args.output, src, tgt, history=history,
+                                title=title, max_points=args.max_points)
+        _print(f"interactive viewer written to {args.output}")
+        return 0
     if args.history:
         from iterativeclosestpoint_tpu.runtime.metrics import read_history_json
 
@@ -378,6 +400,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("target")
     r.add_argument("-o", "--output", help="registered LAS output")
     r.add_argument("--report", help="transform report path (.txt)")
+    r.add_argument("--html", help="write a standalone interactive viewer "
+                                  "(orbit/pan/zoom + iteration replay)")
     r.add_argument("--metrics", help="JSONL metrics path")
     r.add_argument("--history", help="run-history JSONL (for `icp status`)")
     r.add_argument("--checkpoint", help="write checkpoint after the run")
@@ -447,12 +471,17 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("-o", "--output", required=True)
     rp.set_defaults(fn=cmd_replay)
 
-    v = sub.add_parser("view", help="render clouds (+ optional replay) to PNG")
+    v = sub.add_parser("view", help="render clouds to PNG, or to an "
+                                    "interactive HTML viewer (-o out.html: "
+                                    "orbit/pan/zoom + replay slider)")
     v.add_argument("source")
     v.add_argument("target")
     v.add_argument("-o", "--output", required=True)
     v.add_argument("--history", help="history JSON (enables replay + RMSE curve)")
-    v.add_argument("-k", "--iteration", type=int, default=-1)
+    v.add_argument("-k", "--iteration", type=int, default=-1,
+                   help="PNG only; the HTML viewer embeds every iteration")
+    v.add_argument("--max-points", type=int, default=400_000,
+                   help="per-cloud embed cap for the HTML viewer")
     v.set_defaults(fn=cmd_view)
 
     g = sub.add_parser("graph", help="multi-scan joint registration "

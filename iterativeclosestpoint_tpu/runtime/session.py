@@ -329,3 +329,19 @@ class RegistrationSession:
             write_transform_report(txt_path, self.result)
         if json_path:
             write_history_json(json_path, self.result)
+
+    def export_html(self, path: str | Path, max_points: int = 400_000):
+        """Standalone interactive viewer (orbit/pan/zoom + iteration
+        replay slider over this run's history) — the interactive C8
+        counterpart; see runtime/htmlviz.py."""
+        from iterativeclosestpoint_tpu.runtime.htmlviz import (
+            export_interactive_html,
+        )
+
+        if self.original_source is None or self.target is None:
+            raise RuntimeError("load source and target first")
+        history = self.result.iteration_records() if self.result else None
+        export_interactive_html(
+            path, self.original_source, self.target, history=history,
+            max_points=max_points,
+        )

@@ -10,6 +10,11 @@ SURVEY.md §5 calls for (no TPU pod required).
 import os
 import sys
 
+# Invoked as ``python tests/_multihost_worker.py`` — the script dir
+# (tests/) is on sys.path, the repo root is not; make the package
+# importable whether or not it is pip-installed.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> int:
     pid = int(sys.argv[1])
