@@ -119,6 +119,38 @@ def _measure_kernel_sol(src, tgt, log):
     return nn_dt, mo_dt
 
 
+def _measure_volume(kwargs, t_start, log):
+    """Volume-regime row (round-1 VERDICT Missing #4): the same full
+    pipeline on a uniform-volume cloud, where the auto kernel rule picks
+    the z-window column kernel (ops/pallas_nn.py nn_colsweep_z) instead
+    of the x-slab sweep. Deadline-guarded: skipped rather than risking
+    the headline JSON line on slow cold-cache compiles."""
+    import time
+
+    from iterativeclosestpoint_tpu.models.multiscale import icp_register_multiscale
+    from iterativeclosestpoint_tpu.utils.synth import make_registration_pair
+
+    deadline = float(os.environ.get("BENCH_VOLUME_DEADLINE_S", 2400))
+    if time.perf_counter() - t_start > deadline:
+        log(f"volume: skipped (past {deadline:.0f}s deadline; "
+            "see SCALING.md density-regime table for the measured row)")
+        return
+    n = int(os.environ.get("BENCH_VOLUME_N", N_POINTS))
+    src, tgt, _ = make_registration_pair(
+        n=n, seed=9, noise_sigma=0.02, kind="uniform", extent=100.0
+    )
+    res = icp_register_multiscale(src, tgt, **kwargs)  # warmup/compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = icp_register_multiscale(src, tgt, **kwargs)
+        times.append(time.perf_counter() - t0)
+    el = min(times)
+    log(f"volume: {el:.3f}s for {ITERS} iters of {n} uniform-volume pts "
+        f"-> {n * ITERS / el:,.0f} points/s/chip "
+        f"(auto kernel; rmse={res.final.rmse:.4f})")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -126,6 +158,7 @@ def main():
     from iterativeclosestpoint_tpu.models.multiscale import icp_register_multiscale
     from iterativeclosestpoint_tpu.utils.synth import make_registration_pair
 
+    t_start = time.perf_counter()
     log(f"devices: {jax.devices()}")
 
     # Cheap single-shape kernel-vs-brute exactness check FIRST: DMA
@@ -192,6 +225,12 @@ def main():
     log(f"tpu: {elapsed:.3f}s for {ITERS} iters of {N_POINTS} pts "
         f"-> {tpu_pps:,.0f} points/s/chip "
         f"({per_iter*1e3:.1f} ms/iteration full pipeline)")
+
+    if os.environ.get("BENCH_VOLUME", "1") == "1":
+        try:
+            _measure_volume(kwargs, t_start, log)
+        except Exception as e:  # extra row, never the metric
+            log(f"volume row failed: {e}")
 
     # CPU octree baseline (faithful reference pipeline, -O3 native).
     vs_baseline = None

@@ -778,6 +778,12 @@ def apply_permutation(
     return res
 
 
+# Module-level jit: a per-call ``jax.jit`` object defeats the trace cache
+# and recompiles through this environment's remote compile service on
+# EVERY call (~9 s/run measured; SCALING.md partitioned-10M notes).
+_apply_transform_jit = jax.jit(apply_transform)
+
+
 @functools.partial(jax.jit, static_argnames=("resolution", "tile_q",
                                               "group"))
 def _prep_fine_source(src_raw, T_loc, origin, cell_size, *, resolution,
@@ -897,7 +903,7 @@ def icp_register(
         tgt_local = tgt_local.astype(dtype)
         if T_init is not None and prepared_nn is None:
             T_loc = _rebase_transform(T_init, -offset)
-            src_local = jax.jit(apply_transform)(
+            src_local = _apply_transform_jit(
                 jnp.asarray(T_loc, dtype), src_local
             )
     else:

@@ -189,14 +189,12 @@ def icp_register_multiscale(
                     # The prebuilt device source predates the coarse
                     # transform; apply it on device (local frame).
                     from iterativeclosestpoint_tpu.models.icp import (
+                        _apply_transform_jit,
                         _rebase_transform,
-                    )
-                    from iterativeclosestpoint_tpu.ops.se3 import (
-                        apply_transform,
                     )
 
                     T_loc = _rebase_transform(T, -dd[2])
-                    src_dev = _jax.jit(apply_transform)(
+                    src_dev = _apply_transform_jit(
                         jnp.asarray(T_loc, jnp.float32), dd[0]
                     )
                     dd = (src_dev, dd[1], dd[2])
