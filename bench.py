@@ -136,8 +136,12 @@ def _measure_volume(kwargs, t_start, log):
             "see SCALING.md density-regime table for the measured row)")
         return
     n = int(os.environ.get("BENCH_VOLUME_N", N_POINTS))
+    # Seed 7 = the SCALING.md density-table workload. (Seed 9's coarse
+    # point-to-point pass stalls ~2.3 m off on this sparse random volume
+    # — a reference-faithful weak basin — which turns the fine level into
+    # a repair-chain benchmark instead of a kernel benchmark.)
     src, tgt, _ = make_registration_pair(
-        n=n, seed=9, noise_sigma=0.02, kind="uniform", extent=100.0
+        n=n, seed=7, noise_sigma=0.02, kind="uniform", extent=100.0
     )
     res = icp_register_multiscale(src, tgt, **kwargs)  # warmup/compile
     times = []
