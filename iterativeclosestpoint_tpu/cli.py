@@ -300,6 +300,17 @@ def cmd_graph(args) -> int:
         write_las(args.output, merged, scale=hdr0.scale, offset=hdr0.offset)
         _print(f"merged cloud ({len(merged)} pts, scan-0 frame) written "
                f"to {args.output}")
+    if args.html:
+        from iterativeclosestpoint_tpu.runtime.htmlviz import export_scene_html
+
+        export_scene_html(
+            args.html,
+            [s @ T[:3, :3].T + T[:3, 3]
+             for s, T in zip(scans, np.asarray(res.poses))],
+            names=[Path(p).name for p in args.scans],
+            title=f"{len(scans)} scans, joint registration (scan-0 frame)",
+        )
+        _print(f"interactive scene viewer written to {args.html}")
     return 0 if res.iterations > 0 else 1
 
 
@@ -494,6 +505,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="add a loop-closure edge (last scan onto first)")
     g.add_argument("--stride", type=int, default=1)
     g.add_argument("--voxel", type=float, default=0.0)
+    g.add_argument("--html", help="interactive scene viewer of the "
+                                  "optimized scans (standalone HTML)")
     g.add_argument("--max-iterations", type=int, dest="max_iterations",
                    default=50)
     g.add_argument("--tolerance", type=float, default=1e-6)

@@ -13,6 +13,12 @@ cloud — replay is a pure function of the history, exactly like
 ``session.replay(k)``; the GPU re-applies the 4x4 on every frame so
 stepping costs nothing.
 
+Two exports share the machinery:
+  - ``export_interactive_html``: source vs target + iteration replay
+    (the pairwise registration view).
+  - ``export_scene_html``: N named clouds with per-cloud colors and
+    visibility toggles (the multi-scan ``icp graph`` result view).
+
 Coordinates are embedded as base64 float32 *centered* on the combined
 bbox center (UTM-scale absolute coordinates do not survive f32); the
 per-iteration transforms are re-based to the centered frame on the host:
@@ -27,6 +33,19 @@ from pathlib import Path
 from typing import Optional, Sequence
 
 import numpy as np
+
+# Color cycle for multi-scan scenes (index 0/1 match the pairwise
+# source-red / target-blue convention).
+_PALETTE = [
+    (1.00, 0.42, 0.33),
+    (0.36, 0.61, 1.00),
+    (0.45, 0.85, 0.45),
+    (0.95, 0.75, 0.25),
+    (0.80, 0.50, 0.95),
+    (0.40, 0.85, 0.85),
+    (0.95, 0.55, 0.75),
+    (0.75, 0.75, 0.55),
+]
 
 
 def _pack_points(pts: np.ndarray, max_points: int, seed: int = 0) -> np.ndarray:
@@ -44,28 +63,15 @@ def _b64_f32(a: np.ndarray) -> str:
     ).decode("ascii")
 
 
-def export_interactive_html(
+def _write_scene(
     path: str | Path,
-    source: np.ndarray,
-    target: np.ndarray,
-    history: Optional[Sequence[dict]] = None,
-    title: str = "",
-    max_points: int = 400_000,
+    clouds: Sequence[tuple],  # (name, points_subsampled, total_count, color)
+    history: Optional[Sequence[dict]],
+    title: str,
 ) -> None:
-    """Write a standalone interactive viewer HTML.
-
-    ``source`` must be the ORIGINAL (un-registered) source cloud when a
-    ``history`` is given — the replay applies cumulative transforms to it
-    (pointcloudviewer.cpp:96 restores the original before re-applying).
-    ``history``: list of per-iteration records with at least
-    ``transform`` (4,4); ``rmse``/``valid_points``/``outlier_points``
-    are shown in the HUD when present.
-    """
-    src = _pack_points(source, max_points, seed=0)
-    tgt = _pack_points(target, max_points, seed=1)
-
-    lo = np.minimum(src.min(axis=0), tgt.min(axis=0))
-    hi = np.maximum(src.max(axis=0), tgt.max(axis=0))
+    all_pts = [c[1] for c in clouds]
+    lo = np.min([p.min(axis=0) for p in all_pts], axis=0)
+    hi = np.max([p.max(axis=0) for p in all_pts], axis=0)
     center = (lo + hi) / 2.0
     radius = float(np.linalg.norm(hi - lo) / 2.0) or 1.0
 
@@ -87,22 +93,76 @@ def export_interactive_html(
 
     payload = {
         "title": title,
-        "nSrc": int(len(src)),
-        "nTgt": int(len(tgt)),
-        "srcTotal": int(len(np.asarray(source))),
-        "tgtTotal": int(len(np.asarray(target))),
         "radius": radius,
         "zLow": float(lo[2] - center[2]),
-        "src": _b64_f32(src - center),
-        "tgt": _b64_f32(tgt - center),
+        "clouds": [
+            {
+                "name": name,
+                "n": int(len(pts)),
+                "total": int(total),
+                "color": list(color),
+                # replay transforms apply to cloud 0 (the moving source)
+                "replay": i == 0 and bool(transforms),
+                "pts": _b64_f32(pts - center),
+            }
+            for i, (name, pts, total, color) in enumerate(clouds)
+        ],
         "transforms": transforms,
         "stats": stats,
     }
     # "</" must not appear inside the inline <script> (e.g. a title
     # containing "</script>" would truncate the document).
     blob = json.dumps(payload).replace("</", "<\\/")
-    html = _TEMPLATE.replace("/*__DATA__*/null", blob)
-    Path(path).write_text(html)
+    Path(path).write_text(_TEMPLATE.replace("/*__DATA__*/null", blob))
+
+
+def export_interactive_html(
+    path: str | Path,
+    source: np.ndarray,
+    target: np.ndarray,
+    history: Optional[Sequence[dict]] = None,
+    title: str = "",
+    max_points: int = 400_000,
+) -> None:
+    """Write a standalone pairwise-registration viewer.
+
+    ``source`` must be the ORIGINAL (un-registered) source cloud when a
+    ``history`` is given — the replay applies cumulative transforms to it
+    (pointcloudviewer.cpp:96 restores the original before re-applying).
+    ``history``: list of per-iteration records with at least
+    ``transform`` (4,4); ``rmse``/``valid_points``/``outlier_points``
+    are shown in the HUD when present.
+    """
+    src = _pack_points(source, max_points, seed=0)
+    tgt = _pack_points(target, max_points, seed=1)
+    _write_scene(
+        path,
+        [("source", src, len(np.asarray(source)), _PALETTE[0]),
+         ("target", tgt, len(np.asarray(target)), _PALETTE[1])],
+        history,
+        title,
+    )
+
+
+def export_scene_html(
+    path: str | Path,
+    clouds: Sequence[np.ndarray],
+    names: Optional[Sequence[str]] = None,
+    title: str = "",
+    max_points: int = 200_000,
+) -> None:
+    """Write a standalone multi-cloud scene viewer (no replay): each
+    cloud gets a palette color and a HUD visibility toggle — the
+    ``icp graph`` result view (scans in their optimized poses)."""
+    if not clouds:
+        raise ValueError("no clouds to export")
+    names = list(names) if names else [f"scan {i}" for i in range(len(clouds))]
+    packed = [
+        (names[i], _pack_points(c, max_points, seed=i), len(np.asarray(c)),
+         _PALETTE[i % len(_PALETTE)])
+        for i, c in enumerate(clouds)
+    ]
+    _write_scene(path, packed, None, title)
 
 
 _TEMPLATE = r"""<!DOCTYPE html>
@@ -114,9 +174,12 @@ _TEMPLATE = r"""<!DOCTYPE html>
   #c{width:100%;height:100%;display:block;cursor:grab}
   #hud{position:fixed;left:10px;top:10px;background:rgba(16,18,22,.82);
        border:1px solid #2a2e36;border-radius:8px;padding:10px 12px;
-       max-width:360px}
+       max-width:380px}
   #hud b{color:#fff}
-  .src{color:#ff6b55}.tgt{color:#5b9bff}
+  .sw{display:inline-block;width:10px;height:10px;border-radius:2px;
+      margin-right:6px;vertical-align:-1px}
+  .cl{cursor:pointer;user-select:none}
+  .cl.off{opacity:.35}
   #bar{position:fixed;left:50%;transform:translateX(-50%);bottom:12px;
        background:rgba(16,18,22,.82);border:1px solid #2a2e36;
        border-radius:8px;padding:8px 14px;display:flex;gap:10px;
@@ -132,7 +195,7 @@ _TEMPLATE = r"""<!DOCTYPE html>
 <canvas id="c"></canvas>
 <div id="hud"></div>
 <div id="help">drag&nbsp;orbit · shift/right-drag&nbsp;pan ·
-wheel&nbsp;zoom · F&nbsp;fit · G&nbsp;grid</div>
+wheel&nbsp;zoom · F&nbsp;fit · G&nbsp;grid · click&nbsp;name&nbsp;to&nbsp;toggle</div>
 <div id="bar" style="display:none">
   <button id="prev">&#9664;</button>
   <input type="range" id="slider" min="0" value="0" step="1">
@@ -146,7 +209,6 @@ const D=/*__DATA__*/null;
 const f32=b64=>{const s=atob(b64),u=new Uint8Array(s.length);
   for(let i=0;i<s.length;i++)u[i]=s.charCodeAt(i);
   return new Float32Array(u.buffer);};
-const srcPts=f32(D.src),tgtPts=f32(D.tgt);
 const K=D.transforms.length;
 
 const cv=document.getElementById("c");
@@ -169,7 +231,7 @@ const loc={p:gl.getAttribLocation(pr,"p"),M:gl.getUniformLocation(pr,"M"),
   uPt:gl.getUniformLocation(pr,"uPt")};
 function buf(a){const b=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,b);
   gl.bufferData(gl.ARRAY_BUFFER,a,gl.STATIC_DRAW);return b;}
-const srcBuf=buf(srcPts),tgtBuf=buf(tgtPts);
+const clouds=D.clouds.map(c=>({...c,buf:buf(f32(c.pts)),on:true}));
 
 // grid + axes (pointcloudviewer.cpp draws a ground grid and XYZ axes)
 const grid=[];{const r=D.radius,n=10,s=r/n,z=D.zLow;
@@ -225,21 +287,26 @@ function draw(){
     gl.uniform4fv(loc.col,c);gl.drawArrays(gl.LINES,0,n);};
   if(showGrid){lines(gridBuf,gridN,[0.17,0.19,0.23,1]);
     for(let i=0;i<3;i++)lines(axBufs[i],2,axes[i][3].concat([1]));}
-  const pts=(b,n,M,c,s)=>{gl.bindBuffer(gl.ARRAY_BUFFER,b);
+  for(const c of clouds){
+    if(!c.on)continue;
+    gl.bindBuffer(gl.ARRAY_BUFFER,c.buf);
     gl.vertexAttribPointer(loc.p,3,gl.FLOAT,false,0,0);
-    gl.uniformMatrix4fv(loc.M,false,new Float32Array(M));
-    gl.uniform4fv(loc.col,c);gl.uniform1f(loc.ps,s*devicePixelRatio);
+    gl.uniformMatrix4fv(loc.M,false,
+      new Float32Array(c.replay?models[iter]:I4));
+    gl.uniform4fv(loc.col,c.color.concat([1]));
+    gl.uniform1f(loc.ps,2.0*devicePixelRatio);
     gl.uniform1f(loc.uPt,1);
-    gl.drawArrays(gl.POINTS,0,n);};
-  pts(tgtBuf,D.nTgt,I4,[0.36,0.61,1,1],2.0);
-  pts(srcBuf,D.nSrc,models[iter],[1,0.42,0.33,1],2.0);
+    gl.drawArrays(gl.POINTS,0,c.n);
+  }
 }
 function hud(){const s=D.stats[iter-1];
   let t=`<b>${D.title||"icp viewer"}</b><br>`;
-  t+=`<span class="src">source</span> ${D.srcTotal.toLocaleString()} pts`+
-     (D.nSrc<D.srcTotal?` (showing ${D.nSrc.toLocaleString()})`:"")+`<br>`;
-  t+=`<span class="tgt">target</span> ${D.tgtTotal.toLocaleString()} pts`+
-     (D.nTgt<D.tgtTotal?` (showing ${D.nTgt.toLocaleString()})`:"")+`<br>`;
+  for(let i=0;i<clouds.length;i++){const c=clouds[i];
+    const rgb=`rgb(${c.color.map(x=>Math.round(x*255)).join(",")})`;
+    t+=`<span class="cl${c.on?"":" off"}" data-i="${i}">`+
+       `<span class="sw" style="background:${rgb}"></span>`+
+       `${c.name} ${c.total.toLocaleString()} pts`+
+       (c.n<c.total?` (showing ${c.n.toLocaleString()})`:"")+`</span><br>`;}
   if(K){t+=iter===0?`iteration 0 / ${K} (original source)`:
     `iteration ${iter} / ${K}`;
     if(s){if("rmse"in s)t+=` · RMSE ${Number(s.rmse).toPrecision(6)}`;
@@ -247,7 +314,10 @@ function hud(){const s=D.stats[iter-1];
         (("outlier_points"in s)?` · ${s.outlier_points.toLocaleString()} outliers`:"");
       if("rotation_angle_deg"in s)t+=`<br>rot ${Number(s.rotation_angle_deg).toFixed(4)}° · `+
         `|t| ${Number(s.translation_norm).toFixed(4)} m`;}}
-  document.getElementById("hud").innerHTML=t;}
+  const el=document.getElementById("hud");
+  el.innerHTML=t;
+  el.querySelectorAll(".cl").forEach(n=>{n.onclick=()=>{
+    const c=clouds[+n.dataset.i];c.on=!c.on;hud();draw();};});}
 function setIter(k){iter=Math.max(0,Math.min(K,k));
   slider.value=iter;iterlab.textContent=`${iter}/${K}`;hud();draw();}
 

@@ -14,7 +14,10 @@ import numpy as np
 
 from iterativeclosestpoint_tpu.cli import main as cli_main
 from iterativeclosestpoint_tpu.io.las import write_las
-from iterativeclosestpoint_tpu.runtime.htmlviz import export_interactive_html
+from iterativeclosestpoint_tpu.runtime.htmlviz import (
+    export_interactive_html,
+    export_scene_html,
+)
 from iterativeclosestpoint_tpu.runtime.session import RegistrationSession
 from iterativeclosestpoint_tpu.utils.config import ICPConfig
 from iterativeclosestpoint_tpu.utils.synth import make_registration_pair
@@ -27,9 +30,9 @@ def _payload(path):
     return json.loads(m.group(1)), html
 
 
-def _decode(b64, n):
-    pts = np.frombuffer(base64.b64decode(b64), dtype="<f4")
-    return pts.reshape(n, 3).astype(np.float64)
+def _decode(cloud):
+    pts = np.frombuffer(base64.b64decode(cloud["pts"]), dtype="<f4")
+    return pts.reshape(cloud["n"], 3).astype(np.float64)
 
 
 def test_export_roundtrip_and_replay_parity(tmp_path):
@@ -43,17 +46,20 @@ def test_export_roundtrip_and_replay_parity(tmp_path):
     sess.export_html(out)
 
     d, html = _payload(out)
-    assert "<canvas" in html and "WEBGL" in html.upper() or "webgl" in html
+    assert "<canvas" in html and "webgl" in html
     k = sess.result.iterations
     assert len(d["transforms"]) == k
     assert d["stats"][0]["iteration"] == 1 and "rmse" in d["stats"][0]
+    names = [c["name"] for c in d["clouds"]]
+    assert names == ["source", "target"]
+    assert d["clouds"][0]["replay"] and not d["clouds"][1]["replay"]
 
     lo = np.minimum(src.min(0), tgt.min(0))
     hi = np.maximum(src.max(0), tgt.max(0))
     center = (lo + hi) / 2
 
-    src_c = _decode(d["src"], d["nSrc"])
-    tgt_c = _decode(d["tgt"], d["nTgt"])
+    src_c = _decode(d["clouds"][0])
+    tgt_c = _decode(d["clouds"][1])
     assert np.allclose(src_c + center, src, atol=1e-3)
     assert np.allclose(tgt_c + center, tgt, atol=1e-3)
 
@@ -71,9 +77,30 @@ def test_subsampling_cap(tmp_path):
     out = tmp_path / "v.html"
     export_interactive_html(out, src, tgt, max_points=500)
     d, _ = _payload(out)
-    assert d["nSrc"] == 500 and d["nTgt"] == 500
-    assert d["srcTotal"] == 3000 and d["tgtTotal"] == 3000
+    assert [c["n"] for c in d["clouds"]] == [500, 500]
+    assert [c["total"] for c in d["clouds"]] == [3000, 3000]
     assert not d["transforms"]  # no history -> no replay bar data
+    assert not any(c["replay"] for c in d["clouds"])
+
+
+def test_scene_export_multi_cloud(tmp_path):
+    rng = np.random.default_rng(5)
+    clouds = [rng.normal(size=(n, 3)) + i * 2.0
+              for i, n in enumerate((800, 900, 700))]
+    out = tmp_path / "scene.html"
+    export_scene_html(out, clouds, names=["a", "b", "c"], title="3 scans")
+    d, _ = _payload(out)
+    assert [c["name"] for c in d["clouds"]] == ["a", "b", "c"]
+    assert not d["transforms"]
+    # colors are distinct per scan
+    cols = {tuple(c["color"]) for c in d["clouds"]}
+    assert len(cols) == 3
+    # geometry round-trips through the shared center
+    lo = np.min([c.min(0) for c in clouds], axis=0)
+    hi = np.max([c.max(0) for c in clouds], axis=0)
+    center = (lo + hi) / 2
+    for c_in, c_emb in zip(clouds, d["clouds"]):
+        assert np.allclose(_decode(c_emb) + center, c_in, atol=1e-3)
 
 
 def test_cli_view_html(tmp_path):
@@ -99,3 +126,24 @@ def test_cli_view_html(tmp_path):
     assert len(d["transforms"]) >= 1
     # iteration metadata survives the history-JSON roundtrip
     assert d["stats"][0]["valid_points"] > 0
+
+
+def test_cli_graph_html(tmp_path):
+    # Three overlapping synthetic scans -> joint registration -> scene.
+    base, _, _ = make_registration_pair(n=1200, seed=34)
+    rng = np.random.default_rng(6)
+    paths = []
+    for i in range(3):
+        pts = base + rng.normal(0, 0.005, base.shape) + np.array(
+            [0.05 * i, -0.03 * i, 0.0])
+        p = tmp_path / f"scan{i}.las"
+        write_las(p, pts)
+        paths.append(str(p))
+    out = tmp_path / "scene.html"
+    rc = cli_main(["graph", *paths, "--nn-backend", "bruteforce",
+                   "--max-iterations", "8", "--html", str(out)])
+    assert rc == 0
+    d, _ = _payload(out)
+    assert len(d["clouds"]) == 3
+    assert [c["name"] for c in d["clouds"]] == [
+        "scan0.las", "scan1.las", "scan2.las"]
