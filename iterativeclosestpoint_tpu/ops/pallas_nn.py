@@ -47,6 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from iterativeclosestpoint_tpu.ops.bruteforce import nn_bruteforce
+from iterativeclosestpoint_tpu.utils.hostmath import bbox
 from iterativeclosestpoint_tpu.ops.cellblock import (
     auto_resolution_data,
     morton_order,
@@ -93,8 +94,7 @@ def build_pallas_grid(
     winner's normal for free (point-to-plane mode)."""
     target = np.asarray(target)
     R = resolution
-    tmin = target.min(axis=0)
-    tmax = target.max(axis=0)
+    tmin, tmax = bbox(target)
     cell = max(float((tmax - tmin).max()) / R, 1e-9)
 
     # int32 cell ids (R ≤ 512 → R³ < 2³¹) sort via radix under
@@ -225,8 +225,8 @@ def auto_trange(
     """
     target = np.asarray(target)
     R = resolution
-    tmin = target.min(axis=0)
-    extent = float((target.max(axis=0) - tmin).max()) or 1.0
+    tmin, tmax = bbox(target)
+    extent = float((tmax - tmin).max()) or 1.0
     cell = max(extent / R, 1e-9)
     # Above ~2M points, estimate the distribution from a strided subsample
     # (scaled back up): the full-array bincount pass costs hundreds of ms
@@ -286,8 +286,8 @@ def auto_zrange(
     remove on the x axis)."""
     target = np.asarray(target)
     R = resolution
-    tmin = target.min(axis=0)
-    cell = np.maximum((target.max(axis=0) - tmin) / R, 1e-9)
+    tmin, tmax = bbox(target)
+    cell = np.maximum((tmax - tmin) / R, 1e-9)
     stride = max(1, len(target) // _AUTO_TRANGE_SAMPLE_CAP)
     sampled = target[::stride]
     c = np.clip(((sampled - tmin) / cell).astype(np.int64), 0, R - 1)
@@ -570,8 +570,7 @@ def make_pallas_nn_device(
     trange = trange_est
     if kernel == "zcol":
         zrange = auto_zrange(target_local, resolution, tile_q=tile_q)
-    tmin = target_local.min(axis=0)
-    tmax = target_local.max(axis=0)
+    tmin, tmax = bbox(target_local)
     if target_dev is None:
         target_dev = jnp.asarray(target_local, jnp.float32)
 
