@@ -42,7 +42,8 @@ def cmd_run(args) -> int:
     settings = AppSettings.load(args.settings) if args.settings else AppSettings()
     cfg = settings.icp
     for field in ("max_iterations", "tolerance", "sigma_multiplier", "mode",
-                  "nn_backend", "estimator", "robust"):
+                  "nn_backend", "estimator", "robust", "grid_resolution",
+                  "cell_capacity"):
         v = getattr(args, field, None)
         if v is not None:
             setattr(cfg, field, v)
@@ -433,6 +434,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--estimator", choices=["point", "plane"],
                    help="'point' = reference Kabsch semantics; 'plane' = "
                         "point-to-plane extension (fast on smooth scans)")
+    r.add_argument("--grid-resolution", dest="grid_resolution", type=int,
+                   help="NN grid cells per axis (8-512; 0/omitted = "
+                        "data-adaptive auto sizing)")
+    r.add_argument("--cell-capacity", dest="cell_capacity", type=int,
+                   help="per-cell candidate slots for the hashgrid "
+                        "backend (reference octree leaf capacity, 5-100)")
     r.add_argument("--robust", choices=["none", "huber", "tukey"],
                    help="M-estimator pose-update weighting (extension; "
                         "statistics keep the reference's 3-sigma mask)")

@@ -27,6 +27,8 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
+from iterativeclosestpoint_tpu.utils.hostmath import bbox
+
 HEADER_SIZE = 227  # LAS 1.2 standard header (lasio.cpp:21)
 SIGNATURE = b"LASF"
 DEFAULT_SCALE = (0.001, 0.001, 0.001)  # GUI writer's fixed scale (lasio.cpp:167)
@@ -206,8 +208,7 @@ def write_las(
     if points.size == 0:
         raise ValueError("empty cloud, nothing to write")
 
-    pmin = points.min(axis=0)
-    pmax = points.max(axis=0)
+    pmin, pmax = bbox(points)
     if rebase or offset is None:
         offset = tuple(pmin)
     if rebase or scale is None:

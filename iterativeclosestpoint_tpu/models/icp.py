@@ -53,9 +53,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from iterativeclosestpoint_tpu.utils import hostmath
+
 from iterativeclosestpoint_tpu.ops.kabsch import rigid_from_covariance
 from iterativeclosestpoint_tpu.ops.se3 import apply_transform, se3_exp
 from iterativeclosestpoint_tpu.ops.bruteforce import nn_bruteforce
+from iterativeclosestpoint_tpu.runtime.timing import stage
 
 # Stop reasons (host-readable).
 RUNNING = 0
@@ -109,6 +112,9 @@ class ICPResult:
     # state; None when the run had an initial_transform folded in).
     carry_transform_local: Optional[np.ndarray] = None
     center_offset: Optional[np.ndarray] = None
+    # Resolved NN grid resolution (cells/axis) — the observable effect of
+    # the grid_resolution config knob; None for gridless backends.
+    nn_resolution: Optional[int] = None
 
     def iteration_records(self):
         """History as a list of dicts (the iterationCompleted payload)."""
@@ -508,7 +514,7 @@ def _default_nn(
     device_layout: bool = False,
 ):
     """Pick the NN kernel; returns (nn_fn, nn_state, rows | None,
-    weight | None).
+    weight | None, resolution | None).
 
     'auto': brute force while the all-pairs work is small (it is exact and
     rides the MXU); cell-blocked grid beyond — O(N) per iteration vs
@@ -558,16 +564,17 @@ def _default_nn(
                 )
 
                 fn, grid = make_pallas_brute(target_local, normals=nrm)
-                return fn, grid, None, None
-            return _brute_plane_adapter, jnp.asarray(nrm, dtype), None, None
+                return fn, grid, None, None, None
+            return (_brute_plane_adapter, jnp.asarray(nrm, dtype), None,
+                    None, None)
         if use_kernel:
             from iterativeclosestpoint_tpu.ops.pallas_nn import (
                 make_pallas_brute,
             )
 
             fn, grid = make_pallas_brute(target_local)
-            return fn, grid, None, None
-        return _brute_adapter, (), None, None
+            return fn, grid, None, None, None
+        return _brute_adapter, (), None, None, None
     if nn_backend == "cellblock":
         from iterativeclosestpoint_tpu.ops.cellblock import (
             make_cellblock_nn,
@@ -580,7 +587,7 @@ def _default_nn(
             dtype=dtype,
         )
         perm = morton_order(source_local, resolution)
-        return nn_fn, grid, perm, None
+        return nn_fn, grid, perm, None, resolution
     if nn_backend == "hashgrid":
         from iterativeclosestpoint_tpu.ops.hashgrid import make_hashgrid_nn
 
@@ -588,7 +595,7 @@ def _default_nn(
             target_local, resolution=grid_resolution or 64,
             capacity=cell_capacity, dtype=dtype,
         )
-        return fn, grid, None, None
+        return fn, grid, None, None, grid_resolution or 64
     if nn_backend == "pallas":
         from iterativeclosestpoint_tpu.ops.pallas_nn import (
             grouped_tile_order,
@@ -613,7 +620,7 @@ def _default_nn(
                 tile_q=getattr(nn_fn, "tile_q", 128),
                 group=getattr(nn_fn, "layout_group", "x"),
             )
-            return nn_fn, grid, rows, weight
+            return nn_fn, grid, rows, weight, resolution
         nn_fn, grid, resolution = make_pallas_nn(
             target_local, resolution=grid_resolution, dtype=dtype,
             with_normals=(estimator == "plane"),
@@ -621,7 +628,7 @@ def _default_nn(
         rows, weight = grouped_tile_order(
             source_local, grid[0], resolution
         )
-        return nn_fn, grid, rows, weight
+        return nn_fn, grid, rows, weight, resolution
     raise ValueError(f"unknown nn_backend {nn_backend!r}")
 
 
@@ -886,7 +893,7 @@ def icp_register(
         offset = np.asarray(device_data[2], np.float64)
     else:
         offset = (
-            (target.min(axis=0) + target.max(axis=0)) / 2.0
+            hostmath.center_offset(target)
             if center
             else np.zeros(3)
         )
@@ -896,6 +903,7 @@ def icp_register(
         raise ValueError(f"unknown robust mode {robust!r}")
     n_orig = len(source)
     rows = row_weight = None
+    nn_res = None  # resolved grid resolution (observability, W2)
     src_np = tgt_np = None  # host copies, computed lazily when needed
     if device_data is not None:
         src_local, tgt_local = device_data[0], device_data[1]
@@ -907,13 +915,17 @@ def icp_register(
                 jnp.asarray(T_loc, dtype), src_local
             )
     else:
-        src_np = source - offset
-        tgt_np = target - offset
-        src_local = jnp.asarray(src_np, dtype)
-        tgt_local = jnp.asarray(tgt_np, dtype)
+        with stage("host_prep"):
+            src_np = source - offset
+            tgt_np = target - offset
+        with stage("upload", bytes=src_np.nbytes // 2 + tgt_np.nbytes // 2) as done:
+            src_local = jnp.asarray(src_np, dtype)
+            tgt_local = jnp.asarray(tgt_np, dtype)
+            done((src_local, tgt_local))
     layout_applied = False
     if nn_fn is None and prepared_nn is not None:
         nn_fn, nn_state, resolution = prepared_nn
+        nn_res = resolution
         if getattr(nn_fn, "with_normals", False) != (estimator == "plane"):
             raise ValueError(
                 "prepared_nn was built with with_normals="
@@ -926,23 +938,28 @@ def icp_register(
             if (T_init is not None and device_data is not None)
             else np.eye(4)
         )
-        src_local, rows, row_weight = _prep_fine_source(
-            src_local, jnp.asarray(T_loc, dtype), grid0.origin,
-            grid0.cell_size, resolution=resolution,
-            tile_q=getattr(nn_fn, "tile_q", 128),
-            group=getattr(nn_fn, "layout_group", "x"),
-        )
+        with stage("prep") as done:
+            src_local, rows, row_weight = _prep_fine_source(
+                src_local, jnp.asarray(T_loc, dtype), grid0.origin,
+                grid0.cell_size, resolution=resolution,
+                tile_q=getattr(nn_fn, "tile_q", 128),
+                group=getattr(nn_fn, "layout_group", "x"),
+            )
+            done(src_local)
         layout_applied = True  # _prep_fine_source already gathered
     elif nn_fn is None:
         if src_np is None:
-            src_np = source - offset
-            tgt_np = target - offset
-        nn_fn, nn_state, rows, row_weight = _default_nn(
-            nn_backend, src_np, tgt_np, dtype,
-            grid_resolution, cell_capacity, estimator,
-            source_dev=src_local, target_dev=tgt_local,
-            device_layout=True,
-        )
+            with stage("host_prep"):
+                src_np = source - offset
+                tgt_np = target - offset
+        with stage("nn_build") as done:
+            nn_fn, nn_state, rows, row_weight, nn_res = _default_nn(
+                nn_backend, src_np, tgt_np, dtype,
+                grid_resolution, cell_capacity, estimator,
+                source_dev=src_local, target_dev=tgt_local,
+                device_layout=True,
+            )
+            done(nn_state)
     if rows is not None and not layout_applied:
         if isinstance(rows, jnp.ndarray):
             src_local = src_local[rows]  # device gather, device layout
@@ -1023,30 +1040,35 @@ def icp_register(
                 estimator=estimator, robust=robust,
             )
 
-        out = _run_segmented(
-            dispatch, offset, src_local.dtype,
-            max_iterations=max_iterations,
-            segment_iterations=segment_iterations,
-            widen_first=widen,
-            progress_callback=progress_callback, stop_event=stop_event,
-            carry_init=carry, segment_callback=segment_callback,
-        )
+        with stage("loop"):
+            out = _run_segmented(
+                dispatch, offset, src_local.dtype,
+                max_iterations=max_iterations,
+                segment_iterations=segment_iterations,
+                widen_first=widen,
+                progress_callback=progress_callback, stop_event=stop_event,
+                carry_init=carry, segment_callback=segment_callback,
+            )
     else:
-        out = _icp_core(
-            src_local,
-            tgt_local,
-            nn_state,
-            carry,
-            weight=weight_dev,
-            nn_fn=nn_fn,
-            max_iterations=max_iterations,
-            tolerance=tolerance,
-            sigma_multiplier=sigma_multiplier,
-            widen_first=widen,
-            estimator=estimator,
-            robust=robust,
-        )
-    res = package_result(out, offset, return_registered)
+        with stage("loop") as done:
+            out = _icp_core(
+                src_local,
+                tgt_local,
+                nn_state,
+                carry,
+                weight=weight_dev,
+                nn_fn=nn_fn,
+                max_iterations=max_iterations,
+                tolerance=tolerance,
+                sigma_multiplier=sigma_multiplier,
+                widen_first=widen,
+                estimator=estimator,
+                robust=robust,
+            )
+            done(out["T_cum"])
+    with stage("package"):
+        res = package_result(out, offset, return_registered)
+    res.nn_resolution = nn_res
     if rows is not None and res.source_registered is not None:
         res = apply_permutation(
             res, np.asarray(rows),

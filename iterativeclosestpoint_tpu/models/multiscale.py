@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from iterativeclosestpoint_tpu.models.icp import ICPResult, icp_register
+from iterativeclosestpoint_tpu.runtime.timing import scope, stage
+from iterativeclosestpoint_tpu.utils.hostmath import center_offset
 
 
 @dataclasses.dataclass
@@ -129,22 +131,28 @@ def icp_register_multiscale(
             make_pallas_nn_device,
         )
 
-        offset = (
-            (target.min(axis=0) + target.max(axis=0)) / 2.0
-            if fine_kwargs.get("center", True)
-            else np.zeros(3)
-        )
-        src_dev = jax.device_put((source - offset).astype(np.float32))
-        tgt_local = (target - offset).astype(np.float32)
-        tgt_dev = jax.device_put(tgt_local)
-        prepared_nn = make_pallas_nn_device(
-            tgt_local,
-            resolution=fine_kwargs.get("grid_resolution"),
-            target_dev=tgt_dev,
-            with_normals=(
-                fine_kwargs.get("estimator", "point") == "plane"
-            ),
-        )
+        with stage("host_prep"):
+            offset = (
+                center_offset(target)
+                if fine_kwargs.get("center", True)
+                else np.zeros(3)
+            )
+            src_local = (source - offset).astype(np.float32)
+            tgt_local = (target - offset).astype(np.float32)
+        with stage("upload", bytes=src_local.nbytes + tgt_local.nbytes) as done:
+            src_dev = jax.device_put(src_local)
+            tgt_dev = jax.device_put(tgt_local)
+            done((src_dev, tgt_dev))
+        with stage("grid_build") as done:
+            prepared_nn = make_pallas_nn_device(
+                tgt_local,
+                resolution=fine_kwargs.get("grid_resolution"),
+                target_dev=tgt_dev,
+                with_normals=(
+                    fine_kwargs.get("estimator", "point") == "plane"
+                ),
+            )
+            done(prepared_nn[1])
         fine_kwargs.setdefault("nn_backend", "pallas")
         device_data = (src_dev, tgt_dev, offset)
 
@@ -156,76 +164,11 @@ def icp_register_multiscale(
     levels = []
     for li, stride in enumerate(strides):
         last = li == len(strides) - 1
-        if last:
-            if fine_path == "partitioned":
-                from iterativeclosestpoint_tpu.parallel.partition import (
-                    icp_register_partitioned,
-                )
-
-                allowed = (
-                    "halo", "repair_budget", "repair_passes",
-                    "max_iterations", "tolerance", "sigma_multiplier",
-                    "mode", "estimator", "robust", "local_search",
-                    "partition_build", "grid_resolution", "center",
-                    "return_registered", "segment_iterations",
-                    "progress_callback", "stop_event", "segment_callback",
-                )
-                pk = {k: v for k, v in fine_kwargs.items() if k in allowed}
-                res = icp_register_partitioned(
-                    source, target, mesh=mesh, dtype=dtype,
-                    initial_transform=T, **pk,
-                )
-            elif mesh is not None:
-                from iterativeclosestpoint_tpu.parallel.sharded import (
-                    icp_register_sharded,
-                )
-
-                # Sharded path has no initial_transform arg: pre-apply.
-                src_fine = source
-                if T is not None:
-                    src_fine = source @ T[:3, :3].T + T[:3, 3]
-                dd = device_data
-                if dd is not None and T is not None:
-                    # The prebuilt device source predates the coarse
-                    # transform; apply it on device (local frame).
-                    from iterativeclosestpoint_tpu.models.icp import (
-                        _apply_transform_jit,
-                        _rebase_transform,
-                    )
-
-                    T_loc = _rebase_transform(T, -dd[2])
-                    src_dev = _apply_transform_jit(
-                        jnp.asarray(T_loc, jnp.float32), dd[0]
-                    )
-                    dd = (src_dev, dd[1], dd[2])
-                res = icp_register_sharded(
-                    src_fine, target, mesh=mesh, dtype=dtype,
-                    device_data=dd, prepared_nn=prepared_nn,
-                    **fine_kwargs,
-                )
-                if T is not None:
-                    res.transform = res.transform @ T
-                    res.history_transform = res.history_transform @ T
-                    # Local carry misses the composed-in coarse transform.
-                    res.carry_transform_local = None
-                    res.center_offset = None
-            else:
-                res = icp_register(
-                    source, target, dtype=dtype, initial_transform=T,
-                    device_data=device_data, prepared_nn=prepared_nn,
-                    **fine_kwargs,
-                )
-        else:
-            res = icp_register(
-                source[::stride],
-                target[::stride],
-                dtype=dtype,
-                initial_transform=T,
-                max_iterations=coarse_iterations,
-                tolerance=coarse_tolerance,
-                nn_backend=coarse_nn_backend,
-                mode=fine_kwargs.get("mode", "gui"),
-                return_registered=False,
+        with scope("fine" if last else f"coarse{li}" if li else "coarse"):
+            res = _run_level(
+                last, stride, source, target, T, dtype, mesh, fine_path,
+                fine_kwargs, device_data, prepared_nn, coarse_iterations,
+                coarse_tolerance, coarse_nn_backend,
             )
         levels.append((stride, res))
         T = res.transform
@@ -233,3 +176,92 @@ def icp_register_multiscale(
             break
 
     return MultiscaleResult(final=levels[-1][1], levels=levels)
+
+
+def _run_level(
+    last, stride, source, target, T, dtype, mesh, fine_path, fine_kwargs,
+    device_data, prepared_nn, coarse_iterations, coarse_tolerance,
+    coarse_nn_backend,
+):
+    """One pyramid level (split out so each level is a timing scope)."""
+    if not last:
+        return icp_register(
+            source[::stride],
+            target[::stride],
+            dtype=dtype,
+            initial_transform=T,
+            max_iterations=coarse_iterations,
+            tolerance=coarse_tolerance,
+            nn_backend=coarse_nn_backend,
+            mode=fine_kwargs.get("mode", "gui"),
+            return_registered=False,
+        )
+    if fine_path == "partitioned":
+        from iterativeclosestpoint_tpu.parallel.partition import (
+            icp_register_partitioned,
+        )
+
+        allowed = (
+            "halo", "repair_budget", "repair_passes",
+            "max_iterations", "tolerance", "sigma_multiplier",
+            "mode", "estimator", "robust", "local_search",
+            "partition_build", "grid_resolution", "center",
+            "return_registered", "segment_iterations",
+            "progress_callback", "stop_event", "segment_callback",
+        )
+        pk = {k: v for k, v in fine_kwargs.items() if k in allowed}
+        # Route nn_backend to the partitioned per-slab search backend
+        # (round-2 verdict W3: it was silently dropped).
+        nb = fine_kwargs.get("nn_backend", "auto")
+        if nb and nb != "auto" and "local_search" not in pk:
+            ls = {"pallas": "pallas", "bruteforce": "brute"}.get(nb)
+            if ls is None:
+                raise ValueError(
+                    f"nn_backend={nb!r} has no partitioned equivalent "
+                    "(use 'auto', 'pallas' or 'bruteforce')"
+                )
+            pk["local_search"] = ls
+        return icp_register_partitioned(
+            source, target, mesh=mesh, dtype=dtype,
+            initial_transform=T, **pk,
+        )
+    if mesh is not None:
+        from iterativeclosestpoint_tpu.parallel.sharded import (
+            icp_register_sharded,
+        )
+
+        # Sharded path has no initial_transform arg: pre-apply.
+        src_fine = source
+        if T is not None:
+            src_fine = source @ T[:3, :3].T + T[:3, 3]
+        dd = device_data
+        if dd is not None and T is not None:
+            # The prebuilt device source predates the coarse
+            # transform; apply it on device (local frame).
+            from iterativeclosestpoint_tpu.models.icp import (
+                _apply_transform_jit,
+                _rebase_transform,
+            )
+
+            T_loc = _rebase_transform(T, -dd[2])
+            src_dev = _apply_transform_jit(
+                jnp.asarray(T_loc, jnp.float32), dd[0]
+            )
+            dd = (src_dev, dd[1], dd[2])
+        res = icp_register_sharded(
+            src_fine, target, mesh=mesh, dtype=dtype,
+            device_data=dd, prepared_nn=prepared_nn,
+            **fine_kwargs,
+        )
+        if T is not None:
+            res.transform = res.transform @ T
+            res.history_transform = res.history_transform @ T
+            # Local carry misses the composed-in coarse transform.
+            res.carry_transform_local = None
+            res.center_offset = None
+        return res
+    return icp_register(
+        source, target, dtype=dtype, initial_transform=T,
+        device_data=device_data, prepared_nn=prepared_nn,
+        **fine_kwargs,
+    )

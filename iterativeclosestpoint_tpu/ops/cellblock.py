@@ -79,7 +79,12 @@ def auto_resolution_data(
     # above 2M points a strided subsample still hits essentially every
     # occupied probe cell (≥7 samples/cell at probe 64 even on a 10M
     # uniform volume), so the O(N) cellize pass is bounded. Below the
-    # cap the full array is used — zero behavior change.
+    # cap the full array is used — zero behavior change there. Above it,
+    # sampled occupancy is a LOWER bound on true occupancy (long sparse
+    # tails — isolated outlier returns in real LAS — can be skipped), so
+    # on heavy-tailed clouds the estimated d can dip and R round UP one
+    # pow-2 notch versus the full scan; the pow-2 quantization plus the
+    # [8, 512] clip bound the effect to that single notch.
     probe_target = target[:: max(1, len(target) // 2_000_000)]
 
     def occupied(r):

@@ -49,6 +49,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from iterativeclosestpoint_tpu.utils import hostmath
 from jax.sharding import Mesh, PartitionSpec as P
 
 from iterativeclosestpoint_tpu.models.icp import (
@@ -602,7 +604,7 @@ def icp_register_partitioned(
         T_init = np.asarray(initial_transform, np.float64)
         source = source @ T_init[:3, :3].T + T_init[:3, 3]
     offset = (
-        (target.min(axis=0) + target.max(axis=0)) / 2.0
+        hostmath.center_offset(target)
         if center else np.zeros(3)
     )
     tgt_local = target - offset

@@ -29,6 +29,8 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from iterativeclosestpoint_tpu.utils import hostmath
 from jax.sharding import Mesh, PartitionSpec as P
 
 from iterativeclosestpoint_tpu.models.icp import (
@@ -190,7 +192,7 @@ def icp_register_sharded(
         offset = np.asarray(device_data[2], np.float64)
     else:
         offset = (
-            (target.min(axis=0) + target.max(axis=0)) / 2.0
+            hostmath.center_offset(target)
             if center
             else np.zeros(3)
         )
@@ -250,7 +252,7 @@ def icp_register_sharded(
         row_weight = np.asarray(lw)
     else:
         src_np = source - offset
-        nn_fn, nn_state, rows, row_weight = _default_nn(
+        nn_fn, nn_state, rows, row_weight, _nn_res = _default_nn(
             nn_backend, src_np, target - offset, dtype,
             grid_resolution, cell_capacity, estimator,
         )

@@ -299,13 +299,15 @@ function draw(){
     gl.drawArrays(gl.POINTS,0,c.n);
   }
 }
+function esc(x){return String(x).replace(/&/g,"&amp;").replace(/</g,"&lt;")
+  .replace(/>/g,"&gt;").replace(/"/g,"&quot;");}
 function hud(){const s=D.stats[iter-1];
-  let t=`<b>${D.title||"icp viewer"}</b><br>`;
+  let t=`<b>${esc(D.title||"icp viewer")}</b><br>`;
   for(let i=0;i<clouds.length;i++){const c=clouds[i];
     const rgb=`rgb(${c.color.map(x=>Math.round(x*255)).join(",")})`;
     t+=`<span class="cl${c.on?"":" off"}" data-i="${i}">`+
        `<span class="sw" style="background:${rgb}"></span>`+
-       `${c.name} ${c.total.toLocaleString()} pts`+
+       `${esc(c.name)} ${c.total.toLocaleString()} pts`+
        (c.n<c.total?` (showing ${c.n.toLocaleString()})`:"")+`</span><br>`;}
   if(K){t+=iter===0?`iteration 0 / ${K} (original source)`:
     `iteration ${iter} / ${K}`;
@@ -345,6 +347,9 @@ addEventListener("keydown",e=>{
   if(e.key==="f"||e.key==="F"){cam.focus=[0,0,0];
     cam.dist=D.radius*2.2;draw();}
   if(e.key==="g"||e.key==="G"){showGrid=!showGrid;draw();}
+  // When the slider has focus its native arrow handling already steps
+  // the iteration (via oninput); skip ours or each press steps twice.
+  if(document.activeElement===slider)return;
   if(e.key==="ArrowLeft")setIter(iter-1);
   if(e.key==="ArrowRight")setIter(iter+1);});
 addEventListener("resize",draw);

@@ -24,12 +24,12 @@ class ICPConfig:
     sigma_multiplier: float = 3.0
     # NN-structure tunables. ``cell_capacity`` is the reference's octree
     # leaf capacity (icpengine.h:17) and applies to the *hashgrid* backend
-    # only (its per-cell candidate slots); the default pallas/cellblock
-    # backends size their cells data-adaptively instead
-    # (ops.cellblock.auto_resolution_data) and honor ``grid_resolution``
-    # when it is passed explicitly.
+    # only (its per-cell candidate slots). ``grid_resolution`` = 0 (the
+    # default) means data-adaptive sizing (ops.cellblock
+    # .auto_resolution_data — the production behavior); a value in
+    # [8, 512] forces that many cells per axis on every grid backend.
     cell_capacity: int = 10
-    grid_resolution: int = 64
+    grid_resolution: int = 0
     # "gui" reproduces the first-iteration threshold widening
     # max(3σ, 0.5·mean) slack (icpengine.cpp:249-255); "cli" uses plain
     # mean+3σ from iteration 1 (icp_registration.cpp:523).
@@ -55,6 +55,8 @@ class ICPConfig:
     def validate(self) -> "ICPConfig":
         for field, (lo, hi) in self._RANGES.items():
             v = getattr(self, field)
+            if field == "grid_resolution" and v == 0:
+                continue  # 0 = data-adaptive auto sizing
             if not (lo <= v <= hi):
                 raise ValueError(f"{field}={v} outside valid range [{lo}, {hi}]")
         if self.mode not in ("gui", "cli"):

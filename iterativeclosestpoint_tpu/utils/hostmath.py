@@ -3,11 +3,21 @@
 numpy's ``arr.min(axis=0)`` on a C-contiguous (N,3) array takes a
 scalar pairwise inner loop — measured 57 ms at 1M f32 rows on this
 class of host, ~100x off memory bandwidth. Per-column strided scans
-vectorize properly (5.8 ms); at several bbox passes per registration
-(centering offset, grid geometry, the auto_* estimators, the LAS
-writer's header bounds) that difference is ~0.3 s of the ~1.5 s
-1M-point pipeline. Values are bit-identical to the axis-0 form (same
-floats, same reduction), only the loop order changes.
+vectorize properly (5.8 ms). Converted callers: the grid/estimator
+builds (ops/cellblock.py, ops/pallas_nn.py), the centering-offset
+computation (models/icp.py, models/multiscale.py, parallel/sharded.py,
+parallel/partition.py via ``center_offset``) and the LAS writer's
+header bounds (io/las.py).
+
+The min/max *values* are bit-identical to the axis-0 form (same floats,
+same reduction, different loop order) — but ``bbox`` returns f64
+vectors, so downstream expressions like ``(target - tmin) / cell`` on
+f32 clouds promote to f64 where the axis-0 form stayed f32. That can
+shift a point sitting exactly on a cell boundary by one cell versus the
+old builds (harmless: it matches grouped_tile_order's f64 query binning,
+and the oracle-parity tests pin the trajectories) — noted because grid
+builds are therefore not bit-for-bit reproducible against pre-bbox
+builds.
 """
 
 from __future__ import annotations

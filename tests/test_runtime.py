@@ -286,3 +286,33 @@ def test_multiscale_partitioned_fine_path():
     err = float(transform_error(jnp.asarray(ms.transform),
                                 jnp.asarray(T_true)))
     assert err < 1e-3, err
+
+
+def test_grid_resolution_setting_reaches_engine(tmp_path):
+    """Round-2 verdict W2: a changed grid_resolution setting must change
+    the built grid (observable via ICPResult.nn_resolution + metrics)."""
+    sess, _, _, _ = _session_with_pair(tmp_path)
+    lines = []
+    sess.metrics.log = lambda msg: lines.append(str(msg))
+
+    cfg = ICPConfig(max_iterations=3, nn_backend="cellblock",
+                    grid_resolution=16)
+    res = sess.run(config=cfg)
+    assert res.nn_resolution == 16
+    assert any("nn grid resolution: 16" in ln for ln in lines)
+
+    # grid_resolution=0 (default) = data-adaptive auto sizing.
+    sess2, _, _, _ = _session_with_pair(tmp_path)
+    cfg2 = ICPConfig(max_iterations=3, nn_backend="cellblock")
+    res2 = sess2.run(config=cfg2)
+    assert res2.nn_resolution is not None and res2.nn_resolution != 16
+
+
+def test_cell_capacity_setting_reaches_engine(tmp_path):
+    """cell_capacity must reach the hashgrid backend (W2)."""
+    sess, _, _, _ = _session_with_pair(tmp_path)
+    cfg = ICPConfig(max_iterations=3, nn_backend="hashgrid",
+                    grid_resolution=12, cell_capacity=64)
+    res = sess.run(config=cfg)
+    assert res.success
+    assert res.nn_resolution == 12
