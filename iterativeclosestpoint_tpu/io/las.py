@@ -151,6 +151,47 @@ def read_las(
     return pts, hdr
 
 
+def read_las_range(
+    path: str | Path,
+    start: int,
+    stop: int,
+    step: int = 1,
+    header: Optional[LASHeader] = None,
+) -> Tuple[np.ndarray, LASHeader]:
+    """Decode file rows [start, stop) (every ``step``-th) of a LAS file.
+
+    The byte-range form of the reference's batch reader
+    (lasio.cpp:212-300): seeks straight to ``offset_to_data + start·L``
+    and decodes only that slice, so a process ingesting its shard of a
+    sharded array never materializes the full cloud (per-host sharded
+    ingest, SURVEY.md C5; see parallel/ingest.py).
+    """
+    path = Path(path)
+    hdr = header or read_header(path)
+    L = hdr.point_record_length
+    start = max(0, min(start, hdr.point_count))
+    stop = max(start, min(stop, hdr.point_count))
+    n = stop - start
+    with open(path, "rb") as f:
+        f.seek(hdr.offset_to_data + start * L)
+        buf = f.read(n * L)
+    got = len(buf) // L
+    rec = np.dtype(
+        {"names": ["x", "y", "z"], "formats": ["<i4", "<i4", "<i4"],
+         "offsets": [0, 4, 8], "itemsize": L}
+    )
+    pts_i = np.frombuffer(buf, dtype=rec, count=got)
+    if step > 1:
+        pts_i = pts_i[::step]
+    pts = np.empty((len(pts_i), 3), np.float64)
+    pts[:, 0] = pts_i["x"]
+    pts[:, 1] = pts_i["y"]
+    pts[:, 2] = pts_i["z"]
+    pts *= np.asarray(hdr.scale)
+    pts += np.asarray(hdr.offset)
+    return pts, hdr
+
+
 def read_las_batches(
     path: str | Path,
     batch_size: int = 1_000_000,

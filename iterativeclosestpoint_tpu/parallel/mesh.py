@@ -108,6 +108,36 @@ def to_global(x: np.ndarray, mesh: Mesh, spec) -> jax.Array:
     return jax.device_put(x, sh)
 
 
+def to_global_rows(shape, mesh: Mesh, spec, fetch, dtype=np.float32):
+    """Global row-sharded device array whose shards are produced on
+    demand: ``fetch(lo, hi)`` returns rows [lo, hi) of the logical global
+    array (shape ``shape``, axis 0 sharded per ``spec``).
+
+    The per-shard-callback form of :func:`to_global` (round-2 verdict W4):
+    only the *addressable* shards of this process are ever fetched, so no
+    process materializes the full array — the multi-host ingest contract
+    SURVEY.md C5 names for clouds beyond per-host RAM. ``fetch`` may hit
+    disk (io.las.read_las_range) or synthesize padding rows.
+    """
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, spec)
+    cache: dict = {}
+
+    def cb(idx):
+        r = idx[0] if idx else slice(None)
+        lo = r.start or 0
+        hi = r.stop if r.stop is not None else shape[0]
+        key = (lo, hi)
+        if key not in cache:
+            cache[key] = np.asarray(fetch(lo, hi), dtype)
+        block = cache[key]
+        rest = tuple(idx[1:])
+        return block[(slice(None),) + rest] if rest else block
+
+    return jax.make_array_from_callback(tuple(shape), sh, cb)
+
+
 def pad_to_multiple(x: np.ndarray, m: int):
     """Pad axis 0 of ``x`` to a multiple of ``m`` (zeros); returns
     (padded, weight) where weight is 1.0 for real rows, 0.0 for padding."""

@@ -153,6 +153,7 @@ def icp_register_sharded(
     segment_callback: Optional[Callable] = None,
     device_data=None,
     prepared_nn=None,
+    source_global=None,
 ) -> ICPResult:
     """Multi-chip ICP registration (API mirror of models.icp.icp_register,
     including ``estimator``/``robust``, the segmented-dispatch surface
@@ -164,6 +165,14 @@ def icp_register_sharded(
 
     The source is padded to a device multiple with zero-weight rows (which
     no statistic ever sees) and sharded along the mesh's ``dp`` axis.
+
+    ``source_global`` = (src_dev, weight_dev, n_rows) — an already-global
+    row-sharded device source + 0/1 weight (parallel.ingest
+    .load_las_sharded): per-host sharded ingest where no process ever
+    held the full cloud. ``source`` is ignored (pass None); the NN
+    structure is built from ``target`` alone and the query layout
+    optimization is skipped (row order = file order; exactness is
+    unaffected — uncertified tiles repair exactly).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -171,9 +180,21 @@ def icp_register_sharded(
     if estimator not in ("point", "plane"):
         raise ValueError(f"unknown estimator {estimator!r}")
 
-    source = np.asarray(source, np.float64)
+    if source_global is not None:
+        if prepared_nn is not None or device_data is not None:
+            raise ValueError(
+                "source_global cannot combine with prepared_nn/device_data"
+            )
+        if initial_transform is not None:
+            raise ValueError(
+                "source_global with initial_transform is not supported "
+                "(fold the pose into a resume_carry instead)"
+            )
+        n_orig = int(source_global[2])
+    else:
+        source = np.asarray(source, np.float64)
+        n_orig = len(source)
     target = np.asarray(target, np.float64)
-    n_orig = len(source)
     T_init = None
     if initial_transform is not None:
         if resume_carry is not None:
@@ -199,7 +220,24 @@ def icp_register_sharded(
 
     dp = mesh_dp_axes(mesh)
     row_weight = None
-    if prepared_nn is not None:
+    if source_global is not None:
+        src_dev, w_dev = source_global[0], source_global[1]
+        rows = None
+        if nn_backend == "auto":
+            nn_backend = (
+                "bruteforce" if n_orig * len(target) <= 2 ** 31 else "pallas"
+            )
+        # NN structure from the target alone (the source is never on this
+        # host in full); the query-layout permutation is skipped.
+        nn_fn, nn_state, _r, _w, _nn_res = _default_nn(
+            nn_backend, np.zeros((1, 3)), target - offset, dtype,
+            grid_resolution, cell_capacity, estimator,
+        )
+        tgt_dev = to_global((target - offset).astype(dtype), mesh, P())
+        nn_state = jax.tree.map(
+            lambda a: to_global(a, mesh, P()), nn_state
+        )
+    elif prepared_nn is not None:
         if jax.process_count() > 1:
             raise ValueError(
                 "prepared_nn is single-process only (device-to-device "
@@ -349,12 +387,12 @@ def icp_register_sharded(
             del out["src"]
             out["src"] = None  # keyed but unused below
     out["src"] = (
-        out["src"][: (len(rows) if rows is not None else len(source))]
+        out["src"][: (len(rows) if rows is not None else n_orig)]
         if out["src"] is not None else None
     )
     res = package_result(out, offset, return_registered)
     if rows is not None:
-        res = apply_permutation(res, rows, row_weight, len(source))
+        res = apply_permutation(res, rows, row_weight, n_orig)
     if T_init is not None:
         res.transform = res.transform @ T_init
         res.history_transform = res.history_transform @ T_init

@@ -82,6 +82,51 @@ def main() -> int:
     np.testing.assert_allclose(res_p.history_rmse, res_p1.history_rmse,
                                rtol=1e-12)
 
+    # Per-host sharded ingest (round-2 verdict W4): each process decodes
+    # ONLY its addressable row ranges from the LAS file — assert no
+    # single decode (and not even this process's total) reached the full
+    # cloud — and the trajectory still matches the full-array reference.
+    las_dir = sys.argv[4] if len(sys.argv) > 4 else ""
+    if las_dir:
+        from iterativeclosestpoint_tpu.io.las import read_las
+        from iterativeclosestpoint_tpu.parallel.ingest import load_las_sharded
+        from iterativeclosestpoint_tpu.utils.hostmath import center_offset
+
+        src_path = os.path.join(las_dir, "src.las")
+        stats = {}
+        offset = center_offset(tgt)
+        src_g, w_g, n_rows, _hdr = load_las_sharded(
+            src_path, mesh, offset=offset, dtype=np.float64, stats=stats
+        )
+        n_local_shards = sum(
+            1 for d in mesh.devices.ravel()
+            if d.process_index == jax.process_index()
+        )
+        shard_rows = src_g.shape[0] // mesh.devices.size
+        assert stats["peak_rows"] <= shard_rows, stats
+        assert stats["total_rows"] <= n_local_shards * shard_rows, stats
+        assert stats["total_rows"] < n_rows, stats  # never the full cloud
+
+        res_i = icp_register_sharded(
+            None, tgt, mesh=mesh, dtype=jnp.float64, max_iterations=12,
+            source_global=(src_g, w_g, n_rows), return_registered=True,
+        )
+        src_dec, _ = read_las(src_path)
+        res_r = icp_register(
+            src_dec, tgt, dtype=jnp.float64, nn_backend="bruteforce",
+            max_iterations=12,
+        )
+        assert res_i.iterations == res_r.iterations
+        np.testing.assert_allclose(res_i.history_rmse, res_r.history_rmse,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(res_i.transform, res_r.transform,
+                                   atol=1e-12)
+        np.testing.assert_allclose(
+            res_i.source_registered, res_r.source_registered, atol=1e-10
+        )
+        print(f"INGEST_OK {pid} peak={stats['peak_rows']} "
+              f"total={stats['total_rows']} n={n_rows}", flush=True)
+
     print(f"MULTIHOST_OK {pid}", flush=True)
     return 0
 

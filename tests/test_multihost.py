@@ -21,13 +21,22 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_cpu():
+def test_two_process_distributed_cpu(tmp_path):
+    # The worker's sharded-ingest section reads this LAS file per shard
+    # (the same pair the worker synthesizes internally: n=1001, seed=50).
+    from iterativeclosestpoint_tpu.io.las import write_las
+    from iterativeclosestpoint_tpu.utils.synth import make_registration_pair
+
+    src, _, _ = make_registration_pair(n=1001, seed=50, noise_sigma=0.02)
+    write_las(tmp_path / "src.las", src)
+
     port = _free_port()
     env = os.environ.copy()
     env.pop("XLA_FLAGS", None)  # the worker sets its own device count
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), str(pid), "2", str(port)],
+            [sys.executable, str(WORKER), str(pid), "2", str(port),
+             str(tmp_path)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=env,
@@ -46,3 +55,4 @@ def test_two_process_distributed_cpu():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"MULTIHOST_OK {pid}" in out, out
+        assert f"INGEST_OK {pid}" in out, out

@@ -162,3 +162,74 @@ def test_sharded_resume_bit_identical():
     np.testing.assert_array_equal(
         resumed.source_registered, full.source_registered
     )
+
+
+def test_sharded_ingest_from_file(tmp_path):
+    """Per-host sharded ingest (round-2 verdict W4): the source is decoded
+    per shard via byte-range seeks — no full-cloud decode — and the
+    trajectory matches the full-array sharded path exactly."""
+    from iterativeclosestpoint_tpu.io.las import write_las
+    from iterativeclosestpoint_tpu.parallel.ingest import (
+        header_center,
+        load_las_sharded,
+    )
+    from iterativeclosestpoint_tpu.utils.hostmath import center_offset
+
+    src, tgt, _ = make_registration_pair(n=3001, seed=34, noise_sigma=0.02)
+    sp = tmp_path / "src.las"
+    write_las(sp, src)
+    mesh = make_mesh(n_devices=8)
+    offset = center_offset(tgt)
+
+    stats = {}
+    src_g, w_g, n_rows, hdr = load_las_sharded(
+        sp, mesh, offset=offset, dtype=np.float64, stats=stats
+    )
+    assert n_rows == 3001
+    assert src_g.shape[0] % 8 == 0
+    # The ingest contract: every single decode was one shard, never the
+    # full cloud.
+    assert stats["peak_rows"] < n_rows
+    assert stats["peak_rows"] <= -(-3001 // 8) + 1
+
+    res_f = icp_register_sharded(
+        None, tgt, mesh=mesh, dtype=jnp.float64, max_iterations=15,
+        source_global=(src_g, w_g, n_rows), return_registered=True,
+    )
+    # Reference: the same registration from the decoded full array. The
+    # LAS round-trip quantizes to 1mm, so compare against the DECODED
+    # source, not the synthetic original.
+    from iterativeclosestpoint_tpu.io.las import read_las
+
+    src_dec, _ = read_las(sp)
+    res_a = icp_register_sharded(
+        src_dec, tgt, mesh=mesh, dtype=jnp.float64, max_iterations=15,
+        nn_backend="bruteforce", return_registered=True,
+    )
+    assert res_f.iterations == res_a.iterations
+    np.testing.assert_allclose(res_f.history_rmse, res_a.history_rmse,
+                               rtol=1e-12)
+    np.testing.assert_allclose(res_f.transform, res_a.transform, atol=1e-12)
+    np.testing.assert_allclose(
+        res_f.source_registered, res_a.source_registered, atol=1e-10
+    )
+
+
+def test_read_las_range_matches_full(tmp_path):
+    from iterativeclosestpoint_tpu.io.las import (
+        read_las,
+        read_las_range,
+        write_las,
+    )
+
+    pts = np.random.default_rng(5).normal(0, 10, (1000, 3))
+    p = tmp_path / "r.las"
+    write_las(p, pts)
+    full, _ = read_las(p)
+    part, _ = read_las_range(p, 100, 250)
+    np.testing.assert_array_equal(part, full[100:250])
+    strided, _ = read_las_range(p, 100, 250, step=3)
+    np.testing.assert_array_equal(strided, full[100:250:3])
+    # Clamped past EOF.
+    tail, _ = read_las_range(p, 900, 5000)
+    np.testing.assert_array_equal(tail, full[900:])
