@@ -790,6 +790,26 @@ def apply_permutation(
 # EVERY call (~9 s/run measured; SCALING.md partitioned-10M notes).
 _apply_transform_jit = jax.jit(apply_transform)
 
+_SCALAR_CACHE: dict = {}
+
+
+def _dev_scalar(value, dtype):
+    """Device-resident scalar, cached per (value, dtype).
+
+    The loop scalars (tolerance, sigma) are traced args (static would
+    recompile per value) — but passing Python floats transfers a scalar
+    host→device on EVERY dispatch, and through this environment's FIFO
+    transfer queue a dispatch queued behind the multiscale pipeline's
+    24 MB uploads waits for them (~0.5 s) before a 0.1 s coarse pass can
+    even start. A cached device scalar makes the dispatch transfer-free.
+    """
+    key = (float(value), jnp.dtype(dtype).name)
+    v = _SCALAR_CACHE.get(key)
+    if v is None:
+        v = jnp.asarray(value, dtype)
+        _SCALAR_CACHE[key] = v
+    return v
+
 
 @functools.partial(jax.jit, static_argnames=("resolution", "tile_q",
                                               "group"))
@@ -1031,12 +1051,14 @@ def icp_register(
         # Slices of 2-4 iterations keep each dispatch bounded; the
         # trajectory is identical (same compiled body, carried state).
         segment_iterations = max(2, int(8_000_000 // max(n_orig, 1)))
+    tol_dev = _dev_scalar(tolerance, dtype)
+    sig_dev = _dev_scalar(sigma_multiplier, dtype)
     if segment_iterations and segment_iterations > 0:
         def dispatch(carry_, seg_n, widen_):
             return _icp_core(
                 src_local, tgt_local, nn_state, carry_, weight_dev,
-                nn_fn=nn_fn, max_iterations=seg_n, tolerance=tolerance,
-                sigma_multiplier=sigma_multiplier, widen_first=widen_,
+                nn_fn=nn_fn, max_iterations=seg_n, tolerance=tol_dev,
+                sigma_multiplier=sig_dev, widen_first=widen_,
                 estimator=estimator, robust=robust,
             )
 
@@ -1059,8 +1081,8 @@ def icp_register(
                 weight=weight_dev,
                 nn_fn=nn_fn,
                 max_iterations=max_iterations,
-                tolerance=tolerance,
-                sigma_multiplier=sigma_multiplier,
+                tolerance=tol_dev,
+                sigma_multiplier=sig_dev,
                 widen_first=widen,
                 estimator=estimator,
                 robust=robust,

@@ -109,7 +109,7 @@ def icp_register_multiscale(
     # then applies the coarse transform on device instead of re-uploading
     # a transformed copy (reference contrast: octree rebuilt from scratch
     # per run, icp_registration.cpp:857ff).
-    device_data = prepared_nn = None
+    device_data = prepared_nn = coarse_device = deferred_prep = None
     fine_backend = fine_kwargs.get("nn_backend", "auto")
     import jax as _jax
 
@@ -139,20 +139,56 @@ def icp_register_multiscale(
             )
             src_local = (source - offset).astype(np.float32)
             tgt_local = (target - offset).astype(np.float32)
+
+        # Coarse-first upload order: the device transfer queue is FIFO, so
+        # anything the coarse pass needs must be enqueued BEFORE the 24 MB
+        # of full-resolution uploads or the coarse pass stalls behind them
+        # (measured: coarse done at 0.62 s queued after vs 0.12 s queued
+        # before — the overlap this block exists for only happens in the
+        # second order). Prebuild the coarse NN factory here too: its grid
+        # buffers ride the same early slot instead of being lazily
+        # uploaded at coarse dispatch time (which would queue them late).
+        import os as _os
+
+        if (
+            jax.default_backend() == "tpu"
+            and coarse_nn_backend in ("auto", "bruteforce")
+            and initial_transform is None
+            and _os.environ.get("ICP_COARSE_FIRST", "1") == "1"
+        ):
+            csrc = src_local[:: strides[0]]
+            ctgt = tgt_local[:: strides[0]]
+            if len(csrc) * len(ctgt) <= 2 ** 31 and len(ctgt) <= 131072:
+                from iterativeclosestpoint_tpu.ops.pallas_nn import (
+                    make_pallas_brute,
+                )
+
+                with stage("coarse_upload", bytes=csrc.nbytes + ctgt.nbytes):
+                    c_src_dev = jax.device_put(np.ascontiguousarray(csrc))
+                    c_tgt_dev = jax.device_put(np.ascontiguousarray(ctgt))
+                    nn_fn_c, grid_c = make_pallas_brute(ctgt)
+                    grid_c = jax.tree.map(jax.device_put, grid_c)
+                coarse_device = (c_src_dev, c_tgt_dev, offset, nn_fn_c,
+                                 grid_c)
+
         with stage("upload", bytes=src_local.nbytes + tgt_local.nbytes) as done:
             src_dev = jax.device_put(src_local)
             tgt_dev = jax.device_put(tgt_local)
             done((src_dev, tgt_dev))
-        with stage("grid_build") as done:
-            prepared_nn = make_pallas_nn_device(
-                tgt_local,
-                resolution=fine_kwargs.get("grid_resolution"),
-                target_dev=tgt_dev,
-                with_normals=(
-                    fine_kwargs.get("estimator", "point") == "plane"
-                ),
+        with stage("grid_est"):
+            # Host estimator passes now (~110 ms of pure numpy that rides
+            # under the uploads); the DEVICE grid build is deferred until
+            # after the first coarse level — device programs execute in
+            # dispatch order, so a grid build dispatched here would make
+            # the coarse loop wait for the full target upload.
+            from iterativeclosestpoint_tpu.ops.pallas_nn import (
+                estimate_grid_params,
             )
-            done(prepared_nn[1])
+
+            grid_est = estimate_grid_params(
+                tgt_local, fine_kwargs.get("grid_resolution")
+            )
+        deferred_prep = (make_pallas_nn_device, tgt_local, tgt_dev, grid_est)
         fine_kwargs.setdefault("nn_backend", "pallas")
         device_data = (src_dev, tgt_dev, offset)
 
@@ -164,11 +200,29 @@ def icp_register_multiscale(
     levels = []
     for li, stride in enumerate(strides):
         last = li == len(strides) - 1
+        if last and deferred_prep is not None:
+            # The coarse loop has been dispatched (and completed); the
+            # fine grid's device build now queues behind nothing but the
+            # in-flight target upload.
+            with stage("grid_build") as done:
+                make_dev, tgt_local_, tgt_dev_, grid_est_ = deferred_prep
+                prepared_nn = make_dev(
+                    tgt_local_,
+                    target_dev=tgt_dev_,
+                    with_normals=(
+                        fine_kwargs.get("estimator", "point") == "plane"
+                    ),
+                    # grid_est_ already honors a forced grid_resolution
+                    # (estimate_grid_params(target, resolution)).
+                    est=grid_est_,
+                )
+                done(prepared_nn[1])
         with scope("fine" if last else f"coarse{li}" if li else "coarse"):
             res = _run_level(
                 last, stride, source, target, T, dtype, mesh, fine_path,
                 fine_kwargs, device_data, prepared_nn, coarse_iterations,
                 coarse_tolerance, coarse_nn_backend,
+                coarse_device if li == 0 else None,
             )
         levels.append((stride, res))
         T = res.transform
@@ -181,10 +235,21 @@ def icp_register_multiscale(
 def _run_level(
     last, stride, source, target, T, dtype, mesh, fine_path, fine_kwargs,
     device_data, prepared_nn, coarse_iterations, coarse_tolerance,
-    coarse_nn_backend,
+    coarse_nn_backend, coarse_device=None,
 ):
     """One pyramid level (split out so each level is a timing scope)."""
     if not last:
+        extra = {}
+        if coarse_device is not None and T is None:
+            # Pre-uploaded coarse inputs + prebuilt brute factory (their
+            # transfers were enqueued BEFORE the full-resolution uploads,
+            # so this level runs while those still ride the tunnel).
+            c_src, c_tgt, c_off, nn_fn_c, grid_c = coarse_device
+            extra = dict(
+                device_data=(c_src, c_tgt, c_off),
+                nn_fn=nn_fn_c,
+                nn_state=grid_c,
+            )
         return icp_register(
             source[::stride],
             target[::stride],
@@ -195,6 +260,7 @@ def _run_level(
             nn_backend=coarse_nn_backend,
             mode=fine_kwargs.get("mode", "gui"),
             return_registered=False,
+            **extra,
         )
     if fine_path == "partitioned":
         from iterativeclosestpoint_tpu.parallel.partition import (
@@ -205,7 +271,7 @@ def _run_level(
             "halo", "repair_budget", "repair_passes",
             "max_iterations", "tolerance", "sigma_multiplier",
             "mode", "estimator", "robust", "local_search",
-            "partition_build", "grid_resolution", "center",
+            "partition_build", "fine_kernel", "grid_resolution", "center",
             "return_registered", "segment_iterations",
             "progress_callback", "stop_event", "segment_callback",
         )

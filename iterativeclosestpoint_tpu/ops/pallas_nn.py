@@ -493,6 +493,18 @@ def grouped_tile_order_device(
     return rows, weight
 
 
+def estimate_grid_params(target_local, resolution=None):
+    """The host-side estimator passes of make_pallas_nn_device, split out
+    so callers can run them EARLY (they cost ~110 ms at 1M and are pure
+    numpy — the multiscale pipeline runs them while the big uploads ride
+    the tunnel, then hands the result back via ``est=``)."""
+    target_local = np.asarray(target_local)
+    from iterativeclosestpoint_tpu.ops.cellblock import auto_resolution_data
+
+    R = resolution or auto_resolution_data(target_local)
+    return R, auto_trange(target_local, R)
+
+
 def make_pallas_nn_device(
     target_local: np.ndarray,
     resolution: int | None = None,
@@ -502,6 +514,7 @@ def make_pallas_nn_device(
     tile_q: int = 128,
     with_normals: bool = False,
     kernel: str = "auto",
+    est: "tuple | None" = None,
 ):
     """Device-built twin of ``make_pallas_nn``.
 
@@ -541,12 +554,17 @@ def make_pallas_nn_device(
     upfront instead of double-buffering measured identical too — the
     kernel sits at the VPU roofline for its pass structure."""
     target_local = np.asarray(target_local)
-    if resolution is None:
-        resolution = auto_resolution_data(target_local)
-    trange_est = (
-        trange if trange is not None
-        else auto_trange(target_local, resolution)
-    )
+    if est is not None and resolution is None and trange is None:
+        # Precomputed estimator results (estimate_grid_params): same
+        # numbers, same kernel-gate semantics, host passes skipped.
+        resolution, trange_est = est
+    else:
+        if resolution is None:
+            resolution = auto_resolution_data(target_local)
+        trange_est = (
+            trange if trange is not None
+            else auto_trange(target_local, resolution)
+        )
     # Kernel regime selection: the x-slab sweep is shaped for scan
     # surfaces (z ≈ f(x,y) — full-z columns are nearly all window). When
     # the data-adaptive slab range blows past the surface regime (volume
@@ -1371,44 +1389,91 @@ def nn_colsweep_exact(
     n_bad_t2 = jnp.sum(bad_tile2, dtype=jnp.int32)
     bt = max(brute_batch // tile_q, 1)         # tiles per brute pass
     kmax = min(brute_passes * bt, t)           # total tile budget
+    # Staged like the coarse repair: in the steady state the queries that
+    # fall all the way through to brute force are a handful of tiles
+    # (exact-tie decertifications, permanent 3σ outliers), yet one full
+    # brute pass re-sweeps its whole ``bt``-tile batch against the entire
+    # target (traced ~100 ms per firing at 1M — 2 firings were 23% of the
+    # bench fine loop). A small first stage covers those at ~1/8 the
+    # cost; the full passes only fire when it overflows.
+    bt_small = min(max(bt // 8, 1), kmax)
 
-    def repair(carry):
-        if kmax == 0:  # statically no brute budget — identity
-            return carry
-        m0, d0 = carry
-        tperm = jnp.argsort((~bad_tile2).astype(jnp.int32), stable=True)
-        tsel = tperm[:kmax]
-        q_sel = q_t[tsel]  # (kmax, tile_q, 3)
+    def mk_brute(lo_tiles, nb):
+        """Brute-repair tiles [lo_tiles, lo_tiles+nb) of the bad-first
+        tile permutation."""
 
-        def pass_body(p, c):
-            mc, dc = c
+        def do(carry):
+            mc, dc = carry
+            tperm = jnp.argsort((~bad_tile2).astype(jnp.int32), stable=True)
+            rows = jax.lax.dynamic_slice(tperm, (lo_tiles,), (nb,))
+            qb = q_t[rows].reshape(nb * tile_q, 3)
+            # Large target tiles: few scan steps per repair pass.
+            bi, bd = nn_bruteforce(
+                qb, target, query_chunk=nb * tile_q, target_tile=16384
+            )
+            bm = tgt6(bi).reshape(nb, tile_q, 6)
+            bd = bd.reshape(nb, tile_q)
+            live = (
+                lo_tiles + jnp.arange(nb, dtype=jnp.int32) < n_bad_t2
+            )[:, None]
+            return (
+                mc.at[rows].set(jnp.where(live[..., None], bm, mc[rows])),
+                dc.at[rows].set(jnp.where(live, bd, dc[rows])),
+            )
 
-            def do(_):
-                lo = p * bt
-                nb = min(bt, kmax)
-                qb = jax.lax.dynamic_slice(
-                    q_sel, (lo, 0, 0), (nb, tile_q, 3)
-                ).reshape(nb * tile_q, 3)
-                rows = jax.lax.dynamic_slice(tsel, (lo,), (nb,))
-                # Large target tiles: few scan steps per repair pass.
-                bi, bd = nn_bruteforce(
-                    qb, target, query_chunk=nb * tile_q, target_tile=16384
-                )
-                bm = tgt6(bi).reshape(nb, tile_q, 6)
-                bd = bd.reshape(nb, tile_q)
-                live = (lo + jnp.arange(nb, dtype=jnp.int32) < n_bad_t2)[:, None]
-                return (
-                    mc.at[rows].set(jnp.where(live[..., None], bm, mc[rows])),
-                    dc.at[rows].set(jnp.where(live, bd, dc[rows])),
-                )
+        return do
 
-            return jax.lax.cond(n_bad_t2 > p * bt, do, lambda _: c, None)
+    if kmax > 0:
+        # Stage 1: the drizzle (≤ bt_small bad tiles).
+        m_t, d_t = jax.lax.cond(
+            n_bad_t2 > 0, mk_brute(0, bt_small), lambda c: c, (m_t, d_t)
+        )
 
-        return jax.lax.fori_loop(0, brute_passes, pass_body, (m0, d0))
+        # Bulk passes: only when stage 1 overflowed. Tiles already fixed
+        # by stage 1 are re-brute-forced (pass 0 starts at tile 0) —
+        # harmless (same exact result), and it keeps every pass the same
+        # compiled shape.
+        def repair(carry):
+            def pass_body(p, c):
+                mc, dc = c
 
-    m_t, d_t = jax.lax.cond(
-        n_bad_t2 > 0, repair, lambda c: c, (m_t, d_t)
-    )
+                def do_p(_):
+                    # Dynamic start inside the fori body: slice via the
+                    # same static-size helper at a traced offset. Clamp
+                    # lo explicitly (dynamic_slice clamps internally; the
+                    # live mask must use the SAME start or it marks the
+                    # wrong rows of a tail window).
+                    tperm = jnp.argsort(
+                        (~bad_tile2).astype(jnp.int32), stable=True
+                    )
+                    nb = min(bt, kmax)
+                    lo = jnp.minimum(p * bt, t - nb)
+                    rows = jax.lax.dynamic_slice(tperm, (lo,), (nb,))
+                    qb = q_t[rows].reshape(nb * tile_q, 3)
+                    bi, bd = nn_bruteforce(
+                        qb, target, query_chunk=nb * tile_q,
+                        target_tile=16384,
+                    )
+                    bm = tgt6(bi).reshape(nb, tile_q, 6)
+                    bd = bd.reshape(nb, tile_q)
+                    live = (
+                        lo + jnp.arange(nb, dtype=jnp.int32) < n_bad_t2
+                    )[:, None]
+                    return (
+                        mc.at[rows].set(
+                            jnp.where(live[..., None], bm, mc[rows])
+                        ),
+                        dc.at[rows].set(jnp.where(live, bd, dc[rows])),
+                    )
+
+                return jax.lax.cond(n_bad_t2 > p * bt, do_p, lambda _: c,
+                                    None)
+
+            return jax.lax.fori_loop(0, brute_passes, pass_body, carry)
+
+        m_t, d_t = jax.lax.cond(
+            n_bad_t2 > bt_small, repair, lambda c: c, (m_t, d_t)
+        )
 
     if global_fallback:
         def global_brute(_):

@@ -221,14 +221,6 @@ class RegistrationSession:
                             "'bruteforce' with --parallel partition)"
                         )
                     pk["local_search"] = ls
-                rc = pk.pop("resume_carry", None)
-                if rc is not None:
-                    pk["initial_transform"] = np.asarray(
-                        rc["transform"] if isinstance(rc, dict) else rc[0]
-                    )
-                    self.metrics.log(
-                        "partition resume: pose-exact (counters reset)"
-                    )
                 result = icp_register_partitioned(
                     self.source, self.target, mesh=mesh, **pk
                 )

@@ -263,3 +263,83 @@ def test_partitioned_initial_transform():
     err = float(transform_error(jnp.asarray(res.transform),
                                 jnp.asarray(T_true)))
     assert err < 1e-3, err
+
+
+def test_partitioned_resume_bit_identical(tmp_path):
+    """Carry-exact resume under partitioning (round-2 verdict W3): stop a
+    live partitioned run mid-way, resume from the rolling checkpoint, and
+    the concatenated trajectory must equal the uninterrupted partitioned
+    run EXACTLY — same contract as the single-device/dp paths."""
+    from iterativeclosestpoint_tpu.runtime.checkpoint import (
+        load_checkpoint,
+        resume_arguments,
+    )
+    from iterativeclosestpoint_tpu.runtime.session import RegistrationSession
+    from iterativeclosestpoint_tpu.utils.config import ICPConfig
+
+    src, tgt, _ = make_registration_pair(n=3000, seed=131, noise_sigma=0.01)
+    mesh = make_mesh()  # the session's partition path uses the full mesh
+    MAX = 40
+    full = icp_register_partitioned(
+        src, tgt, mesh=mesh, dtype=jnp.float32, max_iterations=MAX,
+        tolerance=1e-5, return_registered=False,
+    )
+    assert full.message == "converged"
+    assert full.iterations > 7
+
+    cfg = ICPConfig(max_iterations=MAX, tolerance=1e-5)
+    sess = RegistrationSession()
+    sess.set_clouds(src, tgt)
+    ev = sess._stop_event
+    real_iter = sess.metrics.iteration
+
+    def stop_at_6(rec, total):
+        real_iter(rec, total)
+        if rec["iteration"] >= 6:
+            ev.set()
+
+    sess.metrics.iteration = stop_at_6
+    res1 = sess.run(config=cfg, parallel="partition", live_every=3,
+                    checkpoint_path=tmp_path / "p.json")
+    assert res1.message == "stopped by user"
+    k = res1.iterations
+    assert 0 < k < full.iterations
+
+    ck = load_checkpoint(tmp_path / "p.json")
+    assert ck["iteration"] == k
+    assert "transform_local" in ck and "prev_error" in ck
+    patch = resume_arguments(ck, MAX)
+    assert "resume_carry" in patch
+    res2 = icp_register_partitioned(
+        src, tgt, mesh=mesh, dtype=jnp.float32, tolerance=1e-5,
+        return_registered=False, **patch,
+    )
+    assert res2.message == full.message
+    assert k + res2.iterations == full.iterations
+    np.testing.assert_array_equal(
+        np.concatenate([res1.history_rmse, res2.history_rmse]),
+        full.history_rmse,
+    )
+    np.testing.assert_array_equal(res2.transform, full.transform)
+
+
+def test_partitioned_zcol_kernel_matches_brute():
+    """The volume-regime z-column kernel under partitioning (round-2
+    verdict W3: it existed only on the replicated path) must reproduce
+    the brute-partitioned trajectory on a uniform volume cloud."""
+    src, tgt, _ = make_registration_pair(
+        n=2000, seed=133, noise_sigma=0.01, kind="uniform", extent=20.0
+    )
+    mesh = make_mesh(n_devices=2)
+    kw = dict(mesh=mesh, dtype=jnp.float32, max_iterations=8,
+              tolerance=1e-9)
+    res_b = icp_register_partitioned(src, tgt, local_search="brute", **kw)
+    res_z = icp_register_partitioned(
+        src, tgt, local_search="pallas", fine_kernel="zcol",
+        grid_resolution=8, **kw
+    )
+    assert res_z.iterations == res_b.iterations
+    np.testing.assert_array_equal(res_z.history_valid, res_b.history_valid)
+    np.testing.assert_allclose(res_z.history_rmse, res_b.history_rmse,
+                               rtol=1e-5)
+    np.testing.assert_allclose(res_z.transform, res_b.transform, atol=1e-5)
