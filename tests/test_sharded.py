@@ -233,3 +233,76 @@ def test_read_las_range_matches_full(tmp_path):
     # Clamped past EOF.
     tail, _ = read_las_range(p, 900, 5000)
     np.testing.assert_array_equal(tail, full[900:])
+
+
+def _collective_payload_bytes(hlo_text):
+    """Sum the result-operand bytes of every cross-device collective in a
+    compiled HLO module."""
+    import re
+
+    sizes = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
+             "f16": 2, "bf16": 2, "pred": 1, "s8": 1, "u8": 1}
+    total = 0
+    ops = []
+    pat = re.compile(
+        r"=\s*((?:\([^)]*\))|(?:[a-z0-9]+\[[0-9,]*\][^ ]*))\s+"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
+        r"all-to-all)\("
+    )
+    for m in pat.finditer(hlo_text):
+        types, op = m.groups()
+        for tm in re.finditer(r"(f64|f32|f16|bf16|s64|s32|u64|u32|pred|s8|u8)"
+                              r"\[([0-9,]*)\]", types):
+            dt, dims = tm.groups()
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * sizes[dt]
+            ops.append((op, dt, dims or "scalar"))
+    return total, ops
+
+
+@pytest.mark.parametrize("estimator", ["point", "plane"])
+def test_collective_payload_under_1kb(estimator):
+    """SCALING.md's multi-host efficiency model rests on <1 KB of
+    collective payload per iteration (round-2 verdict W8: asserted, never
+    pinned). Lower the sharded iteration and count the bytes every
+    cross-device collective moves in the compiled program."""
+    import jax
+
+    from iterativeclosestpoint_tpu.models.icp import (
+        _brute_adapter,
+        _brute_plane_adapter,
+    )
+    from iterativeclosestpoint_tpu.ops.normals import estimate_normals_cellpca
+    from iterativeclosestpoint_tpu.parallel.sharded import _icp_core_sharded
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(n_devices=8)
+    n, m = 1024, 512
+    rng = np.random.default_rng(0)
+    src = jax.device_put(rng.normal(size=(n, 3)).astype(np.float32),
+                         NamedSharding(mesh, P("dp")))
+    w = jax.device_put(np.ones(n, np.float32), NamedSharding(mesh, P("dp")))
+    tgt_np = rng.normal(size=(m, 3)).astype(np.float32)
+    tgt = jax.device_put(tgt_np, NamedSharding(mesh, P()))
+    if estimator == "plane":
+        nn_fn = _brute_plane_adapter
+        nn_state = jax.device_put(
+            np.asarray(estimate_normals_cellpca(tgt_np, 8), np.float32),
+            NamedSharding(mesh, P()),
+        )
+    else:
+        nn_fn = _brute_adapter
+        nn_state = ()
+    lowered = _icp_core_sharded.lower(
+        src, w, tgt, nn_state, None, nn_fn=nn_fn, max_iterations=10,
+        tolerance=1e-6, sigma_multiplier=3.0, widen_first=True, mesh=mesh,
+        estimator=estimator,
+    )
+    total, ops = _collective_payload_bytes(lowered.compile().as_text())
+    assert ops, "no collectives found — the sharded program changed shape"
+    # The while body's collectives appear once in the program; their byte
+    # sum is the per-iteration wire payload.
+    assert total < 1024, (total, ops)
