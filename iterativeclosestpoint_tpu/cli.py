@@ -250,8 +250,18 @@ def cmd_graph(args) -> int:
         _print("need at least two scans")
         return 1
 
-    edges = [(i, i + 1) for i in range(len(scans) - 1)]
-    if args.loop and len(scans) > 2:
+    if args.edges == "auto":
+        from iterativeclosestpoint_tpu.models.posegraph import (
+            detect_overlap_edges,
+        )
+
+        edges = detect_overlap_edges(scans, min_overlap=args.min_overlap)
+        if not edges:
+            edges = [(i, i + 1) for i in range(len(scans) - 1)]
+        _print(f"overlap-detected edges: {edges}")
+    else:
+        edges = [(i, i + 1) for i in range(len(scans) - 1)]
+    if args.loop and len(scans) > 2 and (0, len(scans) - 1) not in edges:
         edges.append((0, len(scans) - 1))  # loop closure: last onto first
 
     kw = dict(max_iterations=args.max_iterations, tolerance=args.tolerance)
@@ -261,8 +271,22 @@ def cmd_graph(args) -> int:
         kw["robust"] = args.robust
     if args.nn_backend:
         kw["nn_backend"] = args.nn_backend
+    mesh = None
+    if args.parallel and args.parallel != "none":
+        from iterativeclosestpoint_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        _print(f"parallel={args.parallel}: {mesh.devices.size}-device mesh")
+    stats = {}
     res = register_scans(scans, edges=edges,
-                         pose_graph_iterations=args.graph_iterations, **kw)
+                         pose_graph_iterations=args.graph_iterations,
+                         multiscale=args.multiscale, mesh=mesh,
+                         graph_robust=args.graph_robust, stats=stats,
+                         **kw)
+    if "scan_uploads" in stats:
+        _print(f"device residency: {stats['scan_uploads']} scan uploads, "
+               f"{stats.get('grids_built', 0)} NN grids for "
+               f"{len(edges)} edges")
     for (i, j), er in zip(edges, res.edge_results):
         flag = "" if er.success else "  ** FAILED — edge dropped **"
         _print(f"edge {i}<-{j}: iters={er.iterations} rmse={er.rmse:.6f} "
@@ -508,6 +532,20 @@ def build_parser() -> argparse.ArgumentParser:
                                             "chain order")
     g.add_argument("-o", "--output", help="merged LAS (scan-0 frame)")
     g.add_argument("--poses", help="per-scan pose JSON output")
+    g.add_argument("--edges", choices=["chain", "auto"], default="chain",
+                   help="edge selection: sequential chain or "
+                        "occupancy-overlap detection")
+    g.add_argument("--min-overlap", dest="min_overlap", type=float,
+                   default=0.25,
+                   help="minimum occupancy-overlap fraction for --edges auto")
+    g.add_argument("--multiscale", action="store_true",
+                   help="coarse-to-fine pipeline per edge (large scans)")
+    g.add_argument("--parallel", choices=["none", "dp"], default="none",
+                   help="data-parallel edge ICP over the local mesh")
+    g.add_argument("--graph-robust", dest="graph_robust",
+                   choices=["none", "huber", "tukey"], default="none",
+                   help="IRLS edge weighting in the pose-graph solve "
+                        "(tukey rejects gross-outlier edges outright)")
     g.add_argument("--loop", action="store_true",
                    help="add a loop-closure edge (last scan onto first)")
     g.add_argument("--stride", type=int, default=1)
