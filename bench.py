@@ -153,6 +153,62 @@ def _measure_volume(kwargs, t_start, log):
     log(f"volume: {el:.3f}s for {ITERS} iters of {n} uniform-volume pts "
         f"-> {n * ITERS / el:,.0f} points/s/chip "
         f"(auto kernel; rmse={res.final.rmse:.4f})")
+    try:
+        _measure_zcol_sol(src, tgt, res, log)
+    except Exception as e:  # SoL line is reporting, not the metric
+        log(f"zcol SoL measurement failed: {e}")
+
+
+def _measure_zcol_sol(src, tgt, res, log):
+    """Standalone roofline line for the volume-regime z-column kernel at
+    the volume workload's steady state (round-2 verdict W7: the sweep
+    kernel had an SoL line, the zcol kernel printed only throughput)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iterativeclosestpoint_tpu.ops import pallas_nn as pn
+    from iterativeclosestpoint_tpu.ops.cellblock import auto_resolution_data
+    from iterativeclosestpoint_tpu.runtime.profiling import nn_kernel_report
+    from iterativeclosestpoint_tpu.utils.hostmath import bbox, center_offset
+
+    offset = center_offset(tgt)
+    tgtl = (tgt - offset).astype(np.float32)
+    tgt_dev = jax.device_put(tgtl)
+    # Steady-state pose: apply the registered transform to the source.
+    T = res.final.transform
+    q = ((src @ T[:3, :3].T + T[:3, 3]) - offset).astype(np.float32)
+
+    R = auto_resolution_data(tgtl)
+    zr = pn.auto_zrange(tgtl, R)
+    lo3, hi3 = bbox(tgtl)
+    cell3 = np.maximum((hi3 - lo3) / R, 1e-9).astype(np.float32)
+    grid = pn._build_zgrid_dev(
+        tgt_dev, jnp.asarray(lo3, jnp.float32), jnp.asarray(cell3),
+        resolution=R, zrange=zr,
+    )
+    rows, _ = pn.grouped_tile_order_device(
+        jnp.asarray(q), grid.origin, grid.cell_size, resolution=R,
+        group="xy",
+    )
+    q_dev = jnp.asarray(q)[rows]
+    np.asarray(jnp.ravel(q_dev)[:1])  # hard sync
+
+    def _sync(out):
+        np.asarray(jnp.ravel(jax.tree_util.tree_leaves(out)[-1])[:1])
+
+    fn = lambda: pn.nn_colsweep_z(q_dev, grid, resolution=R, zrange=zr)
+    _sync(fn())
+    t0 = time.perf_counter()
+    for _ in range(20):
+        out = fn()
+    _sync(out)
+    dt = (time.perf_counter() - t0) / 20
+    cert = float(jnp.mean(out[3].astype(jnp.float32)))
+    log(nn_kernel_report(len(q_dev), 128, 12, zr, dt, name="nn-zcol").line()
+        + f"  [measured standalone, {cert*100:.1f}% certified]")
 
 
 def main():

@@ -97,6 +97,9 @@ def cmd_run(args) -> int:
             checkpoint_path=args.checkpoint,
             initial_transform=initial,
             live_every=args.live_every,
+            # Mid-run viewer exports (segment-boundary refresh) when both
+            # --live-every and --html are given.
+            live_html=(args.html if args.live_every else None),
             **run_extra,
         )
 

@@ -68,6 +68,7 @@ def _write_scene(
     clouds: Sequence[tuple],  # (name, points_subsampled, total_count, color)
     history: Optional[Sequence[dict]],
     title: str,
+    refresh_s: float = 0.0,
 ) -> None:
     all_pts = [c[1] for c in clouds]
     lo = np.min([p.min(axis=0) for p in all_pts], axis=0)
@@ -113,7 +114,18 @@ def _write_scene(
     # "</" must not appear inside the inline <script> (e.g. a title
     # containing "</script>" would truncate the document).
     blob = json.dumps(payload).replace("</", "<\\/")
-    Path(path).write_text(_TEMPLATE.replace("/*__DATA__*/null", blob))
+    html = _TEMPLATE.replace("/*__DATA__*/null", blob)
+    if refresh_s > 0:
+        html = html.replace(
+            "<html><head><meta charset=\"utf-8\">",
+            "<html><head><meta charset=\"utf-8\">"
+            f"<meta http-equiv=\"refresh\" content=\"{refresh_s:g}\">",
+        )
+    # Atomic replace: a live viewer reloading mid-write must never see a
+    # truncated document.
+    tmp = Path(str(path) + ".tmp")
+    tmp.write_text(html)
+    tmp.replace(Path(path))
 
 
 def export_interactive_html(
@@ -123,6 +135,7 @@ def export_interactive_html(
     history: Optional[Sequence[dict]] = None,
     title: str = "",
     max_points: int = 400_000,
+    refresh_s: float = 0.0,
 ) -> None:
     """Write a standalone pairwise-registration viewer.
 
@@ -132,6 +145,11 @@ def export_interactive_html(
     ``history``: list of per-iteration records with at least
     ``transform`` (4,4); ``rmse``/``valid_points``/``outlier_points``
     are shown in the HUD when present.
+
+    ``refresh_s`` > 0 marks the export as LIVE: the page auto-reloads
+    every that many seconds (mid-run segment-boundary exports — the
+    reference GUI's during-run viewer updates, mainwindow.cpp:115-123);
+    the final export rewrites the file without it.
     """
     src = _pack_points(source, max_points, seed=0)
     tgt = _pack_points(target, max_points, seed=1)
@@ -141,6 +159,7 @@ def export_interactive_html(
          ("target", tgt, len(np.asarray(target)), _PALETTE[1])],
         history,
         title,
+        refresh_s=refresh_s,
     )
 
 

@@ -68,17 +68,19 @@ class KernelReport:
 
 def nn_kernel_report(
     n_queries: int, tile_q: int, slabs: int, trange: int, elapsed_s: float,
-    chip: ChipSpec = V5E,
+    chip: ChipSpec = V5E, name: str = "nn-slab-sweep",
 ) -> KernelReport:
-    """Roofline model of the slab-sweep NN kernel (ops/pallas_nn.py):
+    """Roofline model of the sweep-family NN kernels (ops/pallas_nn.py):
     per tile, `slabs` DMA fetches of (8, trange) f32 and a dense
     (tile_q × slabs·trange) distance + argmin + one-hot pass (~14 VPU ops
-    per pair)."""
+    per pair). The z-column volume kernel (nn_colsweep_z) shares the pass
+    structure with slabs=xy_slots and trange=zrange — pass
+    name="nn-zcol"."""
     tiles = -(-n_queries // tile_q)
     cand = slabs * trange
     flops = tiles * tile_q * cand * 14.0
     bytes_hbm = tiles * (slabs * 8 * trange * 4 + tile_q * 8 * 4 * 2)
-    return KernelReport("nn-slab-sweep", elapsed_s, flops, bytes_hbm, chip)
+    return KernelReport(name, elapsed_s, flops, bytes_hbm, chip)
 
 
 def covariance_kernel_report(

@@ -99,6 +99,7 @@ class RegistrationSession:
         checkpoint_path: Optional[str | Path] = None,
         initial_transform=None,
         live_every: int = 0,
+        live_html: Optional[str | Path] = None,
         iteration_base: int = 0,
         **overrides,
     ) -> ICPResult:
@@ -111,11 +112,17 @@ class RegistrationSession:
         ``request_stop()`` takes effect at slice boundaries (the
         reference's cooperative m_shouldStop, icpengine.cpp:160-164).
 
+        ``live_html``: with ``live_every`` > 0, (re-)export the
+        interactive viewer at every segment boundary with the history so
+        far and a 3 s auto-refresh — a long run is watchable mid-flight
+        like the reference GUI (mainwindow.cpp:115-123); the caller's
+        final export replaces it without the refresh.
+
         ``parallel``: "none" (single device), "dp" (source rows sharded
         over the local mesh, parallel.icp_register_sharded), "partition"
         (target x-slabs over the mesh, parallel.icp_register_partitioned
-        — for targets beyond per-chip HBM). Resume under "partition" is
-        pose-exact only (the convergence counters reset)."""
+        — for targets beyond per-chip HBM; resume is carry-exact on all
+        three paths)."""
         if self.source is None or self.target is None:
             raise RuntimeError("load source and target clouds first")
         if self._running:
@@ -143,6 +150,7 @@ class RegistrationSession:
             if live:
                 kwargs.setdefault("segment_iterations", live_every)
                 rmse_trail = []
+                live_records = []
 
                 def on_iteration(rec):
                     if iteration_base:
@@ -150,8 +158,22 @@ class RegistrationSession:
                                "iteration": rec["iteration"] + iteration_base}
                     self.metrics.iteration(rec, cfg.max_iterations)
                     rmse_trail.append(rec["rmse"])
+                    if live_html:
+                        live_records.append(rec)
 
                 def on_segment(seg):
+                    if live_html and live_records:
+                        from iterativeclosestpoint_tpu.runtime.htmlviz import (
+                            export_interactive_html,
+                        )
+
+                        export_interactive_html(
+                            live_html, self.original_source, self.target,
+                            history=live_records,
+                            title=f"live — iteration "
+                                  f"{live_records[-1]['iteration']}",
+                            refresh_s=3.0,
+                        )
                     if checkpoint_path:
                         # Rolling mid-run checkpoint at segment boundaries:
                         # carries the exact convergence state, so --resume
