@@ -302,6 +302,8 @@ def register_scans(
     graph_robust: str = "none",
     reuse_device: "bool | str" = "auto",
     min_overlap: float = 0.25,
+    crop_to_overlap: bool = True,
+    crop_margin: float = 0.05,
     stats: Optional[dict] = None,
     **icp_kwargs,
 ) -> PoseGraphResult:
@@ -328,8 +330,17 @@ def register_scans(
         instead of 2·edges. "auto": on for the single-device f32
         pallas-capable path; disabled under ``mesh``/multiscale (those
         manage their own device placement).
-      stats: optional dict; gains {"scan_uploads", "grids_built"} —
-        the reuse contract's observable.
+      crop_to_overlap: register each edge on the SOURCE points inside the
+        target's bbox dilated by ``crop_margin``·extent (rigid transforms
+        are valid for the whole scan, so the measured edge is unchanged).
+        Documented deviation from plain pairwise semantics, default ON:
+        partial-overlap edges otherwise flood the NN certificates with
+        far out-of-bbox queries — measured 1.58 s/iteration (the repair
+        safety net every iteration) vs ~35 ms cropped at 800k-point
+        scans — and their 3σ statistics are dominated by points that
+        have no true counterpart.
+      stats: optional dict; gains {"scan_uploads", "grids_built",
+        "cropped_source_uploads"} — the reuse contract's observables.
     """
     scans = [np.asarray(s, np.float64) for s in scans]
     if isinstance(edges, str):
@@ -368,16 +379,25 @@ def register_scans(
         hi = np.max([s.max(axis=0) for s in scans], axis=0)
         offset = (lo + hi) / 2.0
         local = [(s - offset).astype(np.float32) for s in scans]
-        device_scans = [_jax.device_put(l) for l in local]
-        if stats is not None:
-            stats["scan_uploads"] = len(scans)
+        device_scans = {}
         prepared = {}
         with_normals = icp_kwargs.get("estimator", "point") == "plane"
+
+        def target_dev(i):
+            # Full scans ride the device lazily, once, in their TARGET
+            # role (with cropping, sources upload per-edge subsets).
+            if i not in device_scans:
+                device_scans[i] = _jax.device_put(local[i])
+                if stats is not None:
+                    stats["scan_uploads"] = (
+                        stats.get("scan_uploads", 0) + 1
+                    )
+            return device_scans[i]
 
         def prepared_for(i):
             if i not in prepared:
                 prepared[i] = make_pallas_nn_device(
-                    local[i], target_dev=device_scans[i],
+                    local[i], target_dev=target_dev(i),
                     with_normals=with_normals,
                 )
                 if stats is not None:
@@ -387,16 +407,44 @@ def register_scans(
     # The pose graph needs only transforms/inlier counts per edge; the
     # registered clouds are recomputed from poses at merge time.
     icp_kwargs.setdefault("return_registered", False)
+
+    bboxes = [(s.min(axis=0), s.max(axis=0)) for s in scans]
+
+    def edge_source(i, j):
+        """Source-j points for edge (i, j): cropped to target i's dilated
+        bbox when crop_to_overlap (rigid edges are unchanged; the NN
+        certificates and 3σ statistics see only plausibly-matching
+        points)."""
+        if not crop_to_overlap:
+            return scans[j]
+        lo_i, hi_i = bboxes[i]
+        m = crop_margin * float((hi_i - lo_i).max())
+        sel = np.all(
+            (scans[j] >= lo_i - m) & (scans[j] <= hi_i + m), axis=1
+        )
+        sub = scans[j][sel]
+        # Too little overlap to measure an edge — fall back to the full
+        # scan (the 3σ gate + graph robustness absorb what it can).
+        return sub if len(sub) >= 512 else scans[j]
+
     measured = []
     weights = []
     edge_results = []
     for (i, j) in edges:
         # ICP maps scan j (source) onto scan i (target): P_i = T · P_j.
+        src_j = edge_source(i, j)
         if use_reuse:
             kw = {k: v for k, v in icp_kwargs.items() if k != "nn_backend"}
+            src_dev = _jax.device_put(
+                (src_j - offset).astype(np.float32)
+            )
+            if stats is not None:
+                stats["cropped_source_uploads"] = (
+                    stats.get("cropped_source_uploads", 0) + 1
+                )
             res = icp_register(
-                scans[j], scans[i],
-                device_data=(device_scans[j], device_scans[i], offset),
+                src_j, scans[i],
+                device_data=(src_dev, target_dev(i), offset),
                 prepared_nn=prepared_for(i), **kw,
             )
         elif multiscale:
@@ -405,7 +453,7 @@ def register_scans(
             )
 
             res = icp_register_multiscale(
-                scans[j], scans[i], mesh=mesh, **icp_kwargs
+                src_j, scans[i], mesh=mesh, **icp_kwargs
             ).final
         elif mesh is not None:
             from iterativeclosestpoint_tpu.parallel.sharded import (
@@ -413,10 +461,10 @@ def register_scans(
             )
 
             res = icp_register_sharded(
-                scans[j], scans[i], mesh=mesh, **icp_kwargs
+                src_j, scans[i], mesh=mesh, **icp_kwargs
             )
         else:
-            res = icp_register(scans[j], scans[i], **icp_kwargs)
+            res = icp_register(src_j, scans[i], **icp_kwargs)
         edge_results.append(res)
         if not res.success:
             continue

@@ -1239,8 +1239,9 @@ def nn_colsweep_z(
     jax.jit,
     static_argnames=(
         "resolution", "coarse_resolution", "tile_q", "slabs", "trange",
-        "coarse_trange", "coarse_budget", "brute_batch", "brute_passes",
-        "global_fallback", "fine", "xy_slots", "return_certified",
+        "coarse_trange", "coarse_budget", "coarse_passes", "brute_batch",
+        "brute_passes", "global_fallback", "fine", "xy_slots",
+        "return_certified",
     ),
 )
 def nn_colsweep_exact(
@@ -1257,6 +1258,7 @@ def nn_colsweep_exact(
     trange: int = 2048,
     coarse_trange: int = 16384,
     coarse_budget: int = 65536,
+    coarse_passes: int = 4,
     brute_batch: int = 4096,
     brute_passes: int = 16,
     global_fallback: bool = True,
@@ -1346,9 +1348,12 @@ def nn_colsweep_exact(
         # cost; the full stage only fires when the small budget cannot
         # hold every bad tile (cold starts, large misalignments).
         ct_small = max(min(64, ct_full // 2), 1)
-        stages = [ct_small] + ([ct_full] if ct_full > ct_small else [])
 
         def mk_repair(ct):
+            """Coarse-repair the first ``ct`` tiles of the bad-first tile
+            permutation (recomputed against the carry's current mask —
+            still-bad tiles always compact to the front)."""
+
             def coarse_repair(carry):
                 m_t, d_t, c_t = carry
                 bad = jnp.any(~c_t, axis=1)
@@ -1376,14 +1381,31 @@ def nn_colsweep_exact(
 
             return coarse_repair
 
-        for ct in stages:
-            # Each stage re-reads the (updated) cert mask; a later stage
-            # fires only if the previous one left uncertified tiles
-            # (budget exceeded, or coarse-uncertifiable queries).
-            n_bad_t = jnp.sum(jnp.any(~c_t, axis=1), dtype=jnp.int32)
-            m_t, d_t, c_t = jax.lax.cond(
-                n_bad_t > 0, mk_repair(ct), lambda c: c, (m_t, d_t, c_t)
-            )
+        # Stage 1 (the drizzle) then up to ``coarse_passes`` full-budget
+        # passes before ANY brute fallthrough: overlap-boundary workloads
+        # (multi-scan edges — a strip of source points whose true NN sits
+        # meters away at the target's boundary face) can decertify 5-10x
+        # the coarse budget at once, and each brute pass costs ~60x a
+        # coarse-kernel pass (measured 0.9 s/iter of brute at an
+        # 800k-point partial-overlap edge vs ~15 ms per coarse pass).
+        # Full pass p+1 is PROGRESS-gated: it fires only while passes
+        # keep certifying tiles (count strictly decreasing) — a leftover
+        # of coarse-UNCERTIFIABLE tiles (ties, true-far outliers) stops
+        # the chain instead of re-sweeping the same tiles futilely, so
+        # the certified steady state still pays only O(t) mask
+        # reductions behind false conds.
+        n_prev = jnp.sum(jnp.any(~c_t, axis=1), dtype=jnp.int32)
+        m_t, d_t, c_t = jax.lax.cond(
+            n_prev > 0, mk_repair(ct_small), lambda c: c, (m_t, d_t, c_t)
+        )
+        if ct_full > ct_small:
+            for _ in range(coarse_passes):
+                n_now = jnp.sum(jnp.any(~c_t, axis=1), dtype=jnp.int32)
+                fire = (n_now > 0) & (n_now < n_prev)
+                m_t, d_t, c_t = jax.lax.cond(
+                    fire, mk_repair(ct_full), lambda c: c, (m_t, d_t, c_t)
+                )
+                n_prev = n_now
 
     bad_tile2 = jnp.any(~c_t, axis=1)
     n_bad_t2 = jnp.sum(bad_tile2, dtype=jnp.int32)

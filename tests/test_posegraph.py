@@ -218,16 +218,18 @@ def test_posegraph_huber_rejects_outlier_edge():
 
 
 def test_register_scans_device_reuse_counts_uploads():
-    """Device residency (round-2 verdict W6): N scan uploads and one NN
-    grid per unique target — not 2 uploads per edge."""
+    """Device residency (round-2 verdict W6): one full upload + one NN
+    grid per unique TARGET, reused across edges — not 2 full uploads per
+    edge. Sources upload per-edge overlap crops (a fraction of a scan)."""
     scans = _overlapping_strip_scans(k=4, n=900)
     stats = {}
     out = register_scans(
         scans, edges=[(0, 1), (1, 2), (2, 3), (0, 2)],
         reuse_device=True, max_iterations=10, stats=stats,
     )
-    assert stats["scan_uploads"] == 4          # N, not 2*edges=8
-    assert stats["grids_built"] == 3           # unique targets {0, 1, 2}
+    assert stats["scan_uploads"] == 3          # unique targets {0, 1, 2}
+    assert stats["grids_built"] == 3           # one grid per target
+    assert stats["cropped_source_uploads"] == 4  # one crop per edge
     assert not out.disconnected
     assert all(er.success for er in out.edge_results)
 
