@@ -70,6 +70,10 @@ class PallasGrid(NamedTuple):
                              # (binary-search row gathers dominate the build)
     origin: jnp.ndarray      # (3,)
     cell_size: jnp.ndarray   # ()
+    bbox_hi: jnp.ndarray     # (3,) TRUE target bbox max corner (same frame
+                             # as origin): the grid cube spans the longest
+                             # axis in every dim, so out-of-bbox gaps for
+                             # the certificate must use the real extents
 
 
 class ZPallasGrid(NamedTuple):
@@ -81,6 +85,7 @@ class ZPallasGrid(NamedTuple):
     cell_start: jnp.ndarray  # (R³+1,) CSR offsets at CELL granularity
     origin: jnp.ndarray      # (3,)
     cell_size: jnp.ndarray   # ()
+    bbox_hi: jnp.ndarray     # (3,) true target bbox max corner
 
 
 def build_pallas_grid(
@@ -117,6 +122,7 @@ def build_pallas_grid(
         col_start=jnp.asarray(col_start),
         origin=jnp.asarray(tmin, dtype),
         cell_size=jnp.asarray(cell, dtype),
+        bbox_hi=jnp.asarray(tmax, dtype),
     )
 
 
@@ -193,7 +199,11 @@ def _ranges(lengths: np.ndarray) -> np.ndarray:
 # variants at 8 across arbitrarily many datasets while only ever rounding
 # UP (more certification margin, and kernel cost is measured sub-linear in
 # trange on v5e, so the overshoot is nearly free).
-_TRANGE_LADDER = (768, 1024, 1536, 2048, 3072, 4096, 6144, 8192)
+_TRANGE_LADDER = (768, 1024, 1536, 2048, 3072, 4096, 6144, 8192,
+                  # coarse-repair-grid territory (floor 16384): the
+                  # upper steps exist for auto coarse_trange — the fine
+                  # trange caps at 8192 and never reaches them.
+                  12288, 16384, 24576, 32768, 49152, 65536)
 
 # auto_trange estimates its column-count distribution from at most this many
 # points (strided subsample above it) — the host pass is O(N) numpy.
@@ -382,7 +392,12 @@ def _build_grid_dev(target, origin, cell_size, *, resolution: int,
         tt = jnp.concatenate(
             [top, jnp.full((5, m + trange), _FAR, jnp.float32)], axis=0
         )
-    return PallasGrid(tgt_t=tt, col_start=col_start, origin=org, cell_size=cs)
+    real = (tgt[:, 0] < _FAR * 0.5)[:, None]
+    hi3 = jnp.max(
+        jnp.where(real, tgt, jnp.asarray(-_FAR, jnp.float32)), axis=0
+    )
+    return PallasGrid(tgt_t=tt, col_start=col_start, origin=org,
+                      cell_size=cs, bbox_hi=hi3)
 
 
 @functools.partial(
@@ -495,14 +510,20 @@ def grouped_tile_order_device(
 
 def estimate_grid_params(target_local, resolution=None):
     """The host-side estimator passes of make_pallas_nn_device, split out
-    so callers can run them EARLY (they cost ~110 ms at 1M and are pure
+    so callers can run them EARLY (they cost ~150 ms at 1M and are pure
     numpy — the multiscale pipeline runs them while the big uploads ride
-    the tunnel, then hands the result back via ``est=``)."""
+    the tunnel, then hands the result back via ``est=``). Returns
+    (resolution, trange_est, coarse_trange)."""
     target_local = np.asarray(target_local)
     from iterativeclosestpoint_tpu.ops.cellblock import auto_resolution_data
 
     R = resolution or auto_resolution_data(target_local)
-    return R, auto_trange(target_local, R)
+    return (
+        R,
+        auto_trange(target_local, R),
+        auto_trange(target_local, max(R // 4, 8),
+                    floor=16384, cap=65536),
+    )
 
 
 def make_pallas_nn_device(
@@ -554,10 +575,11 @@ def make_pallas_nn_device(
     upfront instead of double-buffering measured identical too — the
     kernel sits at the VPU roofline for its pass structure."""
     target_local = np.asarray(target_local)
+    coarse_trange = None
     if est is not None and resolution is None and trange is None:
         # Precomputed estimator results (estimate_grid_params): same
         # numbers, same kernel-gate semantics, host passes skipped.
-        resolution, trange_est = est
+        resolution, trange_est, coarse_trange = est
     else:
         if resolution is None:
             resolution = auto_resolution_data(target_local)
@@ -605,7 +627,16 @@ def make_pallas_nn_device(
         )
 
     coarse_resolution = max(resolution // 4, 8)
-    coarse_trange = 16384
+    if coarse_trange is None:
+        # Data-adaptive, floor at the historical 16384: a FIXED coarse
+        # budget overflows on dense/boundary-heavy workloads (traced: a
+        # multi-scan edge whose boundary strip could not coarse-certify
+        # fell through to brute at 0.38 s/iter because 4-coarse-cell
+        # windows held ~16k+ rows), silently disabling the cheap repair
+        # tier exactly when it is needed most.
+        coarse_trange = auto_trange(
+            target_local, coarse_resolution, floor=16384, cap=65536
+        )
     ext = float((tmax - tmin).max())
     # Both levels in ONE jitted dispatch: fuses the elementwise prep and
     # halves the dispatch round-trips (measured 11.1 ms fused vs 16.4 ms
@@ -967,7 +998,24 @@ def nn_colsweep(
         jnp.float32
     )
     qcell = jnp.floor(qc_f).astype(jnp.int32)
-    qcell = jnp.clip(qcell, 0, R - 1)
+    # Clamp to the OCCUPIED cell range per axis, not just the grid cube:
+    # the cube spans the longest axis in every dim, so on shorter axes a
+    # band of empty cells lies past the target's true edge. A query out
+    # there would otherwise window nothing but empty cells and could
+    # never see the boundary face where its true NN lives (multi-scan
+    # partial-overlap strips: 43% of strip queries fell through to
+    # repair from exactly this). Clamping to the occupied edge is the
+    # same mechanism as the existing grid-edge clamp — the certificate
+    # measures distances from the TRUE (unclipped) position either way.
+    occ_hi = jnp.minimum(
+        jnp.floor(
+            (grid.bbox_hi.astype(jnp.float32)
+             - grid.origin.astype(jnp.float32))
+            / grid.cell_size.astype(jnp.float32)
+        ).astype(jnp.int32),
+        R - 1,
+    )
+    qcell = jnp.clip(qcell, 0, occ_hi[None, :])
 
     qc_t = qcell.reshape(t, tile_q, 3)
     minc = jnp.min(qc_t, axis=1)  # (t, 3)
@@ -1030,15 +1078,44 @@ def nn_colsweep(
     org = grid.origin.astype(jnp.float32)
     pq = (q32 - org[None, :]).reshape(t, tile_q, 3)
     inf = jnp.asarray(jnp.inf, jnp.float32)
+    hi_rel = grid.bbox_hi.astype(jnp.float32) - org  # true per-axis extent
+    # A window edge at/beyond the GRID boundary certifies to infinity (no
+    # cells exist beyond it); a window edge strictly beyond the TARGET's
+    # true extent does too (the grid cube spans the longest axis in every
+    # dim — on shorter axes whole empty cell bands lie between the
+    # target's real edge and the cube's, and no candidate lives there).
     qx_c = qc_t[..., 0]
     rx_lo = jnp.where(qx_c <= 1, inf, pq[..., 0] - (qx_c - 1) * cs)
-    rx_hi = jnp.where(qx_c >= R - 2, inf, (qx_c + 2) * cs - pq[..., 0])
+    rx_hi = jnp.where(
+        (qx_c >= R - 2) | ((qx_c + 2) * cs > hi_rel[0]),
+        inf, (qx_c + 2) * cs - pq[..., 0],
+    )
     my_lo = minc[:, 1:2]
     my_hi = maxc[:, 1:2]
     ry_lo = jnp.where(my_lo <= 1, inf, pq[..., 1] - (my_lo - 1) * cs)
-    ry_hi = jnp.where(my_hi >= R - 2, inf, (my_hi + 2) * cs - pq[..., 1])
+    ry_hi = jnp.where(
+        (my_hi >= R - 2) | ((my_hi + 2) * cs > hi_rel[1]),
+        inf, (my_hi + 2) * cs - pq[..., 1],
+    )
+    rx = jnp.minimum(rx_lo, rx_hi)
+    ry = jnp.minimum(ry_lo, ry_hi)
+    # Out-of-bbox strengthening: every target point lies inside the grid
+    # bbox, so a query outside it by gap g_b in dim b has |Δb| ≥ g_b for
+    # EVERY candidate. A candidate not in the searched window must
+    # escape it in x or y (z is fully covered); an x-escapee satisfies
+    # |Δx| ≥ rx AND the bbox gaps in y/z simultaneously, so
+    #   radius = min( sqrt(rx² + gy² + gz²), sqrt(ry² + gx² + gz²) ).
+    # Interior queries have g = 0 and recover the old min(rx, ry)
+    # exactly; boundary-strip queries (multi-scan partial-overlap edges:
+    # true NN meters away at the target's boundary face) gain the gap
+    # term and certify at the FINE level instead of falling through the
+    # whole repair chain every iteration (traced: 0.38 s/iter of brute).
+    gx = jnp.maximum(jnp.maximum(-pq[..., 0], pq[..., 0] - hi_rel[0]), 0.0)
+    gy = jnp.maximum(jnp.maximum(-pq[..., 1], pq[..., 1] - hi_rel[1]), 0.0)
+    gz = jnp.maximum(jnp.maximum(-pq[..., 2], pq[..., 2] - hi_rel[2]), 0.0)
     radius = jnp.minimum(
-        jnp.minimum(rx_lo, rx_hi), jnp.minimum(ry_lo, ry_hi)
+        jnp.sqrt(rx * rx + gy * gy + gz * gz),
+        jnp.sqrt(ry * ry + gx * gx + gz * gz),
     ).reshape(n)
 
     base = jnp.minimum(start, m_rows - trange).astype(jnp.int32)
@@ -1112,8 +1189,12 @@ def _build_zgrid_dev(target, origin, cell_size, *, resolution: int,
         tt = jnp.concatenate(
             [top, jnp.full((5, m + zrange), _FAR, jnp.float32)], axis=0
         )
+    real = (tgt[:, 0] < _FAR * 0.5)[:, None]
+    hi3 = jnp.max(
+        jnp.where(real, tgt, jnp.asarray(-_FAR, jnp.float32)), axis=0
+    )
     return ZPallasGrid(tgt_t=tt, cell_start=cell_start, origin=org,
-                       cell_size=cs)
+                       cell_size=cs, bbox_hi=hi3)
 
 
 @functools.partial(
@@ -1169,7 +1250,15 @@ def nn_colsweep_z(
     )  # anisotropic per-axis cells (flat-box clouds need fine z cells)
     org = grid.origin.astype(jnp.float32)
     qc_f = (q32 - org) / cs
-    qcell = jnp.clip(jnp.floor(qc_f).astype(jnp.int32), 0, R - 1)
+    occ_hi = jnp.minimum(
+        jnp.floor(
+            (grid.bbox_hi.astype(jnp.float32) - org) / cs
+        ).astype(jnp.int32),
+        R - 1,
+    )
+    # Occupied-range clamp (see nn_colsweep): queries beyond the target's
+    # true edge window the boundary cells instead of empty ones.
+    qcell = jnp.clip(jnp.floor(qc_f).astype(jnp.int32), 0, occ_hi[None, :])
 
     qc_t = qcell.reshape(t, tile_q, 3)
     minc = jnp.min(qc_t, axis=1)  # (t, 3)
@@ -1204,14 +1293,30 @@ def nn_colsweep_z(
     pq = (q32 - org[None, :]).reshape(t, tile_q, 3)
     inf = jnp.asarray(jnp.inf, jnp.float32)
     rs = []
+    gaps = []
     for a in range(3):
         lo_c = minc[:, a:a + 1]
         hi_c = maxc[:, a:a + 1]
+        hi_a = grid.bbox_hi.astype(jnp.float32)[a] - org[a]
         r_lo = jnp.where(lo_c <= 1, inf, pq[..., a] - (lo_c - 1) * cs[a])
-        r_hi = jnp.where(hi_c >= R - 2, inf,
-                         (hi_c + 2) * cs[a] - pq[..., a])
+        r_hi = jnp.where(
+            (hi_c >= R - 2) | ((hi_c + 2) * cs[a] > hi_a),
+            inf, (hi_c + 2) * cs[a] - pq[..., a],
+        )
         rs.append(jnp.minimum(r_lo, r_hi))
-    radius = jnp.minimum(jnp.minimum(rs[0], rs[1]), rs[2]).reshape(n)
+        # Out-of-bbox gap per dim (see nn_colsweep: a window-escapee in
+        # dim a also satisfies the bbox gaps in the other dims, so each
+        # escape bound is sqrt(r_a² + Σ_{b≠a} g_b²); interior queries
+        # have g = 0 and recover the plain min radius).
+        gaps.append(
+            jnp.maximum(jnp.maximum(-pq[..., a], pq[..., a] - hi_a), 0.0)
+        )
+    g2 = [g * g for g in gaps]
+    esc = [
+        jnp.sqrt(rs[a] * rs[a] + sum(g2[b] for b in range(3) if b != a))
+        for a in range(3)
+    ]
+    radius = jnp.minimum(jnp.minimum(esc[0], esc[1]), esc[2]).reshape(n)
 
     base = jnp.minimum(start, m_rows - zrange).astype(jnp.int32)
     base = (base // 128) * 128
@@ -1562,7 +1667,9 @@ def make_pallas_nn(
     # Second level: 4× coarser grid (certificate radius 4 fine cells) for
     # straggler repair; ranges are ~16× longer, hence the larger trange.
     coarse_resolution = max(resolution // 4, 8)
-    coarse_trange = 16384
+    coarse_trange = auto_trange(
+        target_local, coarse_resolution, floor=16384, cap=65536
+    )
     coarse = build_pallas_grid(
         target_local, coarse_resolution, trange=coarse_trange,
         dtype=np.float32, normals=normals,

@@ -68,9 +68,12 @@ _FAR = 1.0e6
 _IMAX = np.int32(2**31 - 1)
 
 
-def _coarse_params(resolution: int) -> tuple[int, int]:
-    """Coarse repair-grid params shared by prep and the NN closure."""
-    return max(resolution // 4, 8), 16384
+def _coarse_params(resolution: int, coarse_trange: int = 0) -> tuple[int, int]:
+    """Coarse repair-grid params shared by prep and the NN closure.
+    ``coarse_trange`` 0 = the historical fixed floor; the entry computes
+    a data-adaptive value from the slab slices (a fixed budget overflows
+    on dense slabs and silently disables the cheap repair tier)."""
+    return max(resolution // 4, 8), coarse_trange or 16384
 
 
 class PartitionState(NamedTuple):
@@ -220,12 +223,13 @@ def build_partition_device(
     jax.jit,
     static_argnames=(
         "mesh", "resolution", "trange", "tile_q", "with_normals",
-        "fine_kernel",
+        "fine_kernel", "coarse_trange",
     ),
 )
 def _prepare_partitioned(
     source, weight, part: PartitionState, *, mesh: Mesh, resolution: int,
     trange: int, tile_q: int, with_normals: bool, fine_kernel: str = "sweep",
+    coarse_trange: int = 0,
 ):
     """One-time per-run prep: per-device slab grids (fine + coarse) and
     the group-aligned source layout, built ON DEVICE under shard_map.
@@ -248,7 +252,9 @@ def _prepare_partitioned(
         grouped_tile_order_device,
     )
 
-    coarse_resolution, coarse_trange = _coarse_params(resolution)
+    coarse_resolution, coarse_trange = _coarse_params(
+        resolution, coarse_trange
+    )
 
     def prep(src, w, halo, nrm):
         halo0 = halo[0]
@@ -460,7 +466,7 @@ def _partitioned_nn_pallas(
     static_argnames=(
         "max_iterations", "widen_first", "repair_budget", "repair_passes",
         "mesh", "estimator", "robust", "local_search", "resolution",
-        "trange", "slabs", "tile_q", "fine_kernel",
+        "trange", "slabs", "tile_q", "fine_kernel", "coarse_trange",
     ),
 )
 def _icp_core_partitioned(
@@ -470,9 +476,12 @@ def _icp_core_partitioned(
     estimator: str = "point", robust: str = "none",
     local_search: str = "brute", resolution: int = 0, trange: int = 0,
     slabs: int = 4, tile_q: int = 128, fine_kernel: str = "sweep",
+    coarse_trange: int = 0,
 ):
     with_normals = estimator == "plane"
-    coarse_resolution, coarse_trange = _coarse_params(resolution)
+    coarse_resolution, coarse_trange = _coarse_params(
+        resolution, coarse_trange
+    )
     if local_search == "pallas":
         if prep is None:
             raise ValueError(
@@ -702,7 +711,7 @@ def icp_register_partitioned(
                 and jnp.dtype(dtype) == jnp.float32)
             else "brute"
         )
-    resolution = trange = 0
+    resolution = trange = coarse_trange = 0
     kernel_choice = fine_kernel
     fine_kernel = "sweep"
     if local_search == "pallas":
@@ -725,6 +734,10 @@ def icp_register_partitioned(
             if trange <= step:
                 trange = step
                 break
+        coarse_trange = max(
+            auto_trange(s, max(resolution // 4, 8), floor=16384, cap=65536)
+            for s in slabs_real
+        )
         # Volume-regime gate per slab — the same cost model as
         # ops.pallas_nn.make_pallas_nn_device (round-2 verdict W3: the
         # z-column kernel did not exist under partitioning, so a
@@ -754,7 +767,7 @@ def icp_register_partitioned(
         prep = _prepare_partitioned(
             src_dev, w_dev, part, mesh=mesh, resolution=resolution,
             trange=trange, tile_q=128, with_normals=(estimator == "plane"),
-            fine_kernel=fine_kernel,
+            fine_kernel=fine_kernel, coarse_trange=coarse_trange,
         )
 
     widen = mode == "gui"
@@ -795,7 +808,7 @@ def icp_register_partitioned(
         repair_budget=repair_budget, repair_passes=repair_passes,
         mesh=mesh, estimator=estimator, robust=robust,
         local_search=local_search, resolution=resolution, trange=trange,
-        fine_kernel=fine_kernel,
+        fine_kernel=fine_kernel, coarse_trange=coarse_trange,
     )
 
     def dispatch(carry_, seg_n, widen_):

@@ -671,3 +671,51 @@ def test_return_certified_marks_exact_rows():
     np.testing.assert_array_equal(np.asarray(m3)[sel], bm[sel])
     np.testing.assert_allclose(np.asarray(d)[sel], np.asarray(bd)[sel],
                                rtol=1e-6, atol=1e-6)
+
+
+def test_boundary_strip_certifies_at_fine_level():
+    """Out-of-bbox certificate strengthening: source points beyond the
+    target's coverage (multi-scan partial-overlap edges) must certify at
+    the FINE level via the bbox-gap term — and stay exact — instead of
+    falling through the repair chain every iteration."""
+    import jax.numpy as jnp
+
+    from iterativeclosestpoint_tpu.ops.bruteforce import nn_bruteforce
+    from iterativeclosestpoint_tpu.ops.pallas_nn import (
+        build_pallas_grid,
+        grouped_tile_order,
+        nn_colsweep,
+    )
+    from iterativeclosestpoint_tpu.utils.synth import make_cloud
+
+    cloud = make_cloud(20_000, seed=8)
+    x = cloud[:, 0]
+    lo, hi = x.min(), x.max()
+    tgt = cloud[x <= lo + 0.6 * (hi - lo)].astype(np.float32)
+    # Queries: the overlap region PLUS a strip up to ~15% of the extent
+    # beyond the target's x-coverage (true NNs sit at the boundary face,
+    # meters away).
+    src = cloud[(x >= lo + 0.3 * (hi - lo)) & (x <= lo + 0.75 * (hi - lo))]
+    src = (src + np.random.default_rng(0).normal(0, 0.01, src.shape)
+           ).astype(np.float32)
+
+    grid = build_pallas_grid(tgt, resolution=16, trange=4096)
+    rows, weight = grouped_tile_order(src, grid, 16)
+    q = src[rows]
+    m, _, d, cert = nn_colsweep(jnp.asarray(q), grid, resolution=16,
+                                slabs=4, trange=4096)
+    cert = np.asarray(cert) & (np.asarray(weight) > 0)
+    real = np.asarray(weight) > 0
+
+    # Exactness wherever certified.
+    bi, bd = nn_bruteforce(jnp.asarray(q), jnp.asarray(tgt))
+    np.testing.assert_allclose(
+        np.asarray(d)[cert], np.asarray(bd)[cert], rtol=1e-6, atol=1e-6
+    )
+    # The strip queries (beyond the target bbox in x) must certify at
+    # high rate — without the gap term they are ALL uncertifiable once
+    # their distance exceeds the y-window radius.
+    strip = q[:, 0] > tgt[:, 0].max()
+    assert strip[real].sum() > 500, "fixture lost its strip"
+    frac = cert[strip & real].mean()
+    assert frac > 0.95, f"strip certification {frac:.3f}"
