@@ -107,3 +107,208 @@ def load_las_sharded(
     src = to_global_rows((n_pad, 3), mesh, P(dp), fetch_rows, dtype)
     wgt = to_global_rows((n_pad,), mesh, P(dp), fetch_weight, dtype)
     return src, wgt, n, hdr
+
+
+def sample_x_walls(
+    path: str | Path,
+    n_dev: int,
+    sample_cap: int = 2_000_000,
+    header: "LASHeader | None" = None,
+):
+    """Deterministic x-quantile slab walls from a strided sample of the
+    file (every process computes identical walls from the same bytes —
+    no collective needed). Returns (walls (n_dev+1,), header)."""
+    path = Path(path)
+    hdr = header or read_header(path)
+    step = max(1, hdr.point_count // sample_cap)
+    pts, _ = read_las_range(path, 0, hdr.point_count, step=step, header=hdr)
+    qs = np.quantile(pts[:, 0], np.linspace(0, 1, n_dev + 1))
+    qs[0], qs[-1] = -np.inf, np.inf
+    return qs, hdr
+
+
+def load_las_partitioned_target(
+    path: str | Path,
+    mesh: Mesh,
+    *,
+    halo: float,
+    offset: np.ndarray,
+    walls: "np.ndarray | None" = None,
+    dtype=np.float32,
+    batch_size: int = 1_000_000,
+    stats: Optional[dict] = None,
+):
+    """Stream a LAS target into a global PartitionState, keeping in RAM
+    only the slabs this process's devices own.
+
+    The streamed form of parallel.partition.build_partition (SURVEY C5:
+    per-host sharded ingest at the scale the partitioned path exists
+    for): every process reads the file once in bounded batches
+    (readLASBatch semantics, lasio.cpp:212-300) but RETAINS only rows
+    inside its own devices' [wall-halo, wall+halo) x-ranges. Slab sizes
+    are counted for ALL devices during the same pass (a few ints), so
+    the padded shape is identical on every process without a collective.
+
+    Returns (PartitionState with axis-0 global-sharded buffers, walls).
+    """
+    import jax as _jax
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from iterativeclosestpoint_tpu.io.las import read_las_batches
+    from iterativeclosestpoint_tpu.parallel.partition import (
+        _FAR,
+        _IMAX,
+        PartitionState,
+    )
+
+    path = Path(path)
+    n_dev = mesh.devices.size
+    if walls is None:
+        walls, hdr = sample_x_walls(path, n_dev)
+    else:
+        hdr = read_header(path)
+    offset = np.asarray(offset, np.float64)
+    lo_w = walls[:-1] - halo
+    hi_w = walls[1:] + halo
+
+    my_devs = {
+        d
+        for d in range(n_dev)
+        if mesh.devices.ravel()[d].process_index == _jax.process_index()
+    }
+    counts = np.zeros(n_dev, np.int64)
+    mine_pts = {d: [] for d in my_devs}
+    mine_idx = {d: [] for d in my_devs}
+    row0 = 0
+    peak = 0
+    for batch in read_las_batches(path, batch_size=batch_size):
+        peak = max(peak, len(batch))
+        x = batch[:, 0]
+        for d in range(n_dev):
+            sel = (x >= lo_w[d]) & (x < hi_w[d])
+            counts[d] += int(sel.sum())
+            if d in my_devs:
+                mine_pts[d].append((batch[sel] - offset).astype(dtype))
+                mine_idx[d].append(
+                    (np.nonzero(sel)[0] + row0).astype(np.int32)
+                )
+        row0 += len(batch)
+    if stats is not None:
+        stats["peak_batch_rows"] = peak
+        stats["retained_rows"] = int(sum(counts[d] for d in my_devs))
+        stats["total_rows"] = row0
+
+    m_loc = -(-int(counts.max()) // 128) * 128
+
+    def fill(buf_of):
+        def cb(idx):
+            d = idx[0].start or 0
+            block = buf_of(d)
+            rest = tuple(idx[1:])
+            return block[(slice(None),) + rest] if rest else block
+
+        return cb
+
+    sh_dp = NamedSharding(mesh, P("dp"))
+    sh_rep = NamedSharding(mesh, P())
+
+    def pts_of(d):
+        buf = np.full((1, m_loc, 3), _FAR, dtype)
+        rows = np.concatenate(mine_pts[d]) if mine_pts.get(d) else None
+        if rows is not None and len(rows):
+            buf[0, : len(rows)] = rows
+        return buf
+
+    def idx_of(d):
+        buf = np.full((1, m_loc), _IMAX, np.int32)
+        rows = np.concatenate(mine_idx[d]) if mine_idx.get(d) else None
+        if rows is not None and len(rows):
+            buf[0, : len(rows)] = rows
+        return buf
+
+    def nrm_of(d):
+        return np.zeros((1, m_loc, 3), dtype)
+
+    part = PartitionState(
+        halo_pts=_jax.make_array_from_callback(
+            (n_dev, m_loc, 3), sh_dp, fill(pts_of)
+        ),
+        halo_idx=_jax.make_array_from_callback(
+            (n_dev, m_loc), sh_dp, fill(idx_of)
+        ),
+        halo_nrm=_jax.make_array_from_callback(
+            (n_dev, m_loc, 3), sh_dp, fill(nrm_of)
+        ),
+        x_lo=_jax.device_put((lo_w - offset[0]).astype(dtype), sh_rep),
+        x_hi=_jax.device_put((hi_w - offset[0]).astype(dtype), sh_rep),
+    )
+    return part, walls
+
+
+def load_las_partitioned_source(
+    path: str | Path,
+    mesh: Mesh,
+    *,
+    walls: np.ndarray,
+    offset: np.ndarray,
+    dtype=np.float32,
+    batch_size: int = 1_000_000,
+    stats: Optional[dict] = None,
+):
+    """Stream a LAS source sharded by the target's slab WALLS (each query
+    lands on the device whose slab certifies it), retaining only this
+    process's shards. Returns (src_global P(dp), weight_global, n_rows).
+    """
+    import jax as _jax
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from iterativeclosestpoint_tpu.io.las import read_las_batches
+
+    path = Path(path)
+    n_dev = mesh.devices.size
+    offset = np.asarray(offset, np.float64)
+    lo_w = walls[:-1]
+    hi_w = walls[1:]
+    my_devs = {
+        d
+        for d in range(n_dev)
+        if mesh.devices.ravel()[d].process_index == _jax.process_index()
+    }
+    counts = np.zeros(n_dev, np.int64)
+    mine = {d: [] for d in my_devs}
+    total = 0
+    for batch in read_las_batches(path, batch_size=batch_size):
+        x = batch[:, 0]
+        for d in range(n_dev):
+            sel = (x >= lo_w[d]) & (x < hi_w[d])
+            counts[d] += int(sel.sum())
+            if d in my_devs:
+                mine[d].append((batch[sel] - offset).astype(dtype))
+        total += len(batch)
+    if stats is not None:
+        stats["retained_rows"] = int(sum(counts[d] for d in my_devs))
+        stats["total_rows"] = total
+
+    m_src = max(-(-int(counts.max()) // 128) * 128, 128)
+    sh_dp = NamedSharding(mesh, P("dp"))
+
+    def cb_pts(idx):
+        d = idx[0].start // m_src if idx[0].start else 0
+        buf = np.zeros((m_src, 3), dtype)
+        rows = np.concatenate(mine[d]) if mine.get(d) else None
+        if rows is not None and len(rows):
+            buf[: len(rows)] = rows
+        rest = tuple(idx[1:])
+        return buf[(slice(None),) + rest] if rest else buf
+
+    def cb_w(idx):
+        d = idx[0].start // m_src if idx[0].start else 0
+        buf = np.zeros(m_src, dtype)
+        buf[: int(counts[d])] = 1.0
+        return buf
+
+    src = _jax.make_array_from_callback((n_dev * m_src, 3), sh_dp, cb_pts)
+    wgt = _jax.make_array_from_callback((n_dev * m_src,), sh_dp, cb_w)
+    return src, wgt, int(counts.sum())

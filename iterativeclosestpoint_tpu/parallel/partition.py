@@ -603,8 +603,21 @@ def icp_register_partitioned(
     stop_event=None,
     segment_callback: Optional[Callable] = None,
     resume_carry=None,
+    partition_state=None,
+    source_global=None,
+    offset=None,
 ) -> ICPResult:
     """ICP with the target spatially partitioned across the mesh.
+
+    ``partition_state`` + ``source_global`` (+ ``offset``): pre-built
+    global device inputs from parallel.ingest
+    (load_las_partitioned_target / _source) — the multi-process streamed
+    ingest where no process ever holds the full cloud. ``source`` and
+    ``target`` are ignored (pass None); implies ``local_search='brute'``
+    under "auto" (the per-slab grid params need host slab samples) and
+    ``return_registered=False`` (the wall-sharded row order has no
+    global permutation back to file order; the transform/history are the
+    product).
 
     ``resume_carry`` mirrors models.icp.icp_register: the full
     convergence carry {transform, prev_error, no_improve[,
@@ -636,139 +649,179 @@ def icp_register_partitioned(
     if estimator not in ("point", "plane"):
         raise ValueError(f"unknown estimator {estimator!r}")
 
-    source = np.asarray(source, np.float64)
-    target = np.asarray(target, np.float64)
-    n_orig = len(source)
-    T_init = None
-    if initial_transform is not None:
-        if resume_carry is not None:
+    if partition_state is not None:
+        if source_global is None or offset is None:
             raise ValueError(
-                "initial_transform cannot combine with resume_carry (the "
-                "carry's transform already includes any initial pose)"
+                "partition_state requires source_global and offset "
+                "(parallel.ingest.load_las_partitioned_* provide them)"
             )
-        T_init = np.asarray(initial_transform, np.float64)
-        source = source @ T_init[:3, :3].T + T_init[:3, 3]
-    offset = (
-        hostmath.center_offset(target)
-        if center else np.zeros(3)
-    )
-    tgt_local = target - offset
-    src_local = source - offset
-    if halo is None:
-        halo = 0.02 * float((tgt_local.max(0) - tgt_local.min(0)).max())
-
-    # Sort source by x so equal-count shards line up with the target's
-    # x-quantile slabs (the clouds nearly coincide after coarse alignment);
-    # residual mismatch is absorbed by the halo + collective repair.
-    perm = np.argsort(src_local[:, 0], kind="stable")
-    src_sorted = src_local[perm]
-
-    sels, los, his = _slab_selection(tgt_local, n_dev, halo)
-    m_loc = -(-max(len(s) for s in sels) // 128) * 128
-
-    if partition_build == "auto":
-        use_device_build = (
-            jax.default_backend() == "tpu"
-            and jnp.dtype(dtype) == jnp.float32
-        )
-    else:
-        use_device_build = partition_build == "device"
-
-    if use_device_build:
-        part = build_partition_device(
-            tgt_local, n_dev, halo, mesh,
-            with_normals=(estimator == "plane"),
-            sels=sels, los=los, his=his,
-        )
-    else:
-        normals = None
+        if initial_transform is not None:
+            raise ValueError(
+                "partition_state with initial_transform is not supported "
+                "(resume through resume_carry instead)"
+            )
+        if return_registered:
+            raise ValueError(
+                "partition_state requires return_registered=False (the "
+                "wall-sharded order has no global inverse permutation)"
+            )
         if estimator == "plane":
-            # Device normals build + one pull (the host cell-PCA
-            # allocates O(R³) f64 moment arrays — ~2 min of numpy at
-            # 10M/R=256, vs ~2 s on device including the tunnel pull).
-            from iterativeclosestpoint_tpu.ops.normals import (
-                estimate_normals_cellpca_device,
+            raise ValueError(
+                "partition_state currently supports estimator='point'"
+            )
+        offset = np.asarray(offset, np.float64)
+        n_orig = int(source_global[2])
+        T_init = None
+        part = partition_state
+        src_dev, w_dev = source_global[0], source_global[1]
+        perm = None
+        if local_search == "auto":
+            local_search = "brute"
+        if local_search != "brute":
+            raise ValueError(
+                "partition_state supports local_search='brute' (per-slab "
+                "grid params need host slab samples)"
+            )
+        resolution = trange = coarse_trange = 0
+        fine_kernel = "sweep"
+        prep = None
+    else:
+        source = np.asarray(source, np.float64)
+        target = np.asarray(target, np.float64)
+        n_orig = len(source)
+        T_init = None
+        if initial_transform is not None:
+            if resume_carry is not None:
+                raise ValueError(
+                    "initial_transform cannot combine with resume_carry "
+                    "(the carry's transform already includes any initial "
+                    "pose)"
+                )
+            T_init = np.asarray(initial_transform, np.float64)
+            source = source @ T_init[:3, :3].T + T_init[:3, 3]
+        offset = (
+            hostmath.center_offset(target)
+            if center else np.zeros(3)
+        )
+        tgt_local = target - offset
+        src_local = source - offset
+        if halo is None:
+            halo = 0.02 * float(
+                (tgt_local.max(0) - tgt_local.min(0)).max()
             )
 
-            r0 = auto_resolution_data(tgt_local)
-            tmin = tgt_local.min(axis=0)
-            ext0 = float((tgt_local.max(axis=0) - tmin).max()) or 1.0
-            normals = np.asarray(
-                estimate_normals_cellpca_device(
-                    jnp.asarray(tgt_local, jnp.float32),
-                    jnp.asarray(tmin, jnp.float32),
-                    jnp.asarray(max(ext0 / r0, 1e-9), jnp.float32),
-                    resolution=r0,
+        # Sort source by x so equal-count shards line up with the target's
+        # x-quantile slabs (the clouds nearly coincide after coarse alignment);
+        # residual mismatch is absorbed by the halo + collective repair.
+        perm = np.argsort(src_local[:, 0], kind="stable")
+        src_sorted = src_local[perm]
+
+        sels, los, his = _slab_selection(tgt_local, n_dev, halo)
+        m_loc = -(-max(len(s) for s in sels) // 128) * 128
+
+        if partition_build == "auto":
+            use_device_build = (
+                jax.default_backend() == "tpu"
+                and jnp.dtype(dtype) == jnp.float32
+            )
+        else:
+            use_device_build = partition_build == "device"
+
+        if use_device_build:
+            part = build_partition_device(
+                tgt_local, n_dev, halo, mesh,
+                with_normals=(estimator == "plane"),
+                sels=sels, los=los, his=his,
+            )
+        else:
+            normals = None
+            if estimator == "plane":
+                # Device normals build + one pull (the host cell-PCA
+                # allocates O(R³) f64 moment arrays — ~2 min of numpy at
+                # 10M/R=256, vs ~2 s on device including the tunnel pull).
+                from iterativeclosestpoint_tpu.ops.normals import (
+                    estimate_normals_cellpca_device,
                 )
-            ).astype(dtype)
-        part = build_partition(tgt_local, n_dev, halo, dtype=dtype,
-                               normals=normals)
 
-    if local_search == "auto":
-        local_search = (
-            "pallas"
-            if (jax.default_backend() == "tpu" and m_loc > 131072
-                and jnp.dtype(dtype) == jnp.float32)
-            else "brute"
-        )
-    resolution = trange = coarse_trange = 0
-    kernel_choice = fine_kernel
-    fine_kernel = "sweep"
-    if local_search == "pallas":
-        from iterativeclosestpoint_tpu.ops.pallas_nn import (
-            _TRANGE_LADDER,
-            auto_trange,
-            auto_zrange,
-        )
+                r0 = auto_resolution_data(tgt_local)
+                tmin = tgt_local.min(axis=0)
+                ext0 = float((tgt_local.max(axis=0) - tmin).max()) or 1.0
+                normals = np.asarray(
+                    estimate_normals_cellpca_device(
+                        jnp.asarray(tgt_local, jnp.float32),
+                        jnp.asarray(tmin, jnp.float32),
+                        jnp.asarray(max(ext0 / r0, 1e-9), jnp.float32),
+                        resolution=r0,
+                    )
+                ).astype(dtype)
+            part = build_partition(tgt_local, n_dev, halo, dtype=dtype,
+                                   normals=normals)
 
-        # Shared static grid params: per-slab data-adaptive estimates
-        # from the HOST slices (pulling the assembled slab buffers back
-        # through the tunnel costs ~2 s at 10M), maxed across devices and
-        # ladder-quantized (compile reuse).
-        slabs_real = [tgt_local[s] for s in sels if len(s)]
-        resolution = grid_resolution or max(
-            auto_resolution_data(s) for s in slabs_real
-        )
-        trange = max(auto_trange(s, resolution) for s in slabs_real)
-        for step in _TRANGE_LADDER:
-            if trange <= step:
-                trange = step
-                break
-        coarse_trange = max(
-            auto_trange(s, max(resolution // 4, 8), floor=16384, cap=65536)
-            for s in slabs_real
-        )
-        # Volume-regime gate per slab — the same cost model as
-        # ops.pallas_nn.make_pallas_nn_device (round-2 verdict W3: the
-        # z-column kernel did not exist under partitioning, so a
-        # uniform-volume partitioned run paid the measured 1.5× sweep
-        # penalty). The (x,y)-group layout pads each of the R² groups to
-        # a tile multiple; with per-DEVICE query counts the padding
-        # inflation is n_dev× the replicated case — fold that in.
-        # ``fine_kernel`` ("auto"|"sweep"|"zcol") overrides the gate.
-        if kernel_choice == "zcol" or (
-            kernel_choice == "auto"
-            and trange >= 2048
-            and resolution <= 128
-        ):
-            zr = max(auto_zrange(s, resolution) for s in slabs_real)
-            q_per_dev = max(n_orig // max(n_dev, 1), 1)
-            pad = 1.0 + (resolution**2 * (128 - 1) / 2) / q_per_dev
-            if kernel_choice == "zcol" or 12 * zr * pad < 0.7 * 4 * trange:
-                fine_kernel = "zcol"
-                trange = zr  # the exact chain reuses trange as the z budget
+        if local_search == "auto":
+            local_search = (
+                "pallas"
+                if (jax.default_backend() == "tpu" and m_loc > 131072
+                    and jnp.dtype(dtype) == jnp.float32)
+                else "brute"
+            )
+        resolution = trange = coarse_trange = 0
+        kernel_choice = fine_kernel
+        fine_kernel = "sweep"
+        if local_search == "pallas":
+            from iterativeclosestpoint_tpu.ops.pallas_nn import (
+                _TRANGE_LADDER,
+                auto_trange,
+                auto_zrange,
+            )
 
-    src_pad, w = pad_to_multiple(src_sorted.astype(dtype), n_dev)
-    src_dev = jnp.asarray(src_pad)
-    w_dev = jnp.asarray(w)
+            # Shared static grid params: per-slab data-adaptive estimates
+            # from the HOST slices (pulling the assembled slab buffers back
+            # through the tunnel costs ~2 s at 10M), maxed across devices and
+            # ladder-quantized (compile reuse).
+            slabs_real = [tgt_local[s] for s in sels if len(s)]
+            resolution = grid_resolution or max(
+                auto_resolution_data(s) for s in slabs_real
+            )
+            trange = max(auto_trange(s, resolution) for s in slabs_real)
+            for step in _TRANGE_LADDER:
+                if trange <= step:
+                    trange = step
+                    break
+            coarse_trange = max(
+                auto_trange(s, max(resolution // 4, 8), floor=16384, cap=65536)
+                for s in slabs_real
+            )
+            # Volume-regime gate per slab — the same cost model as
+            # ops.pallas_nn.make_pallas_nn_device (round-2 verdict W3: the
+            # z-column kernel did not exist under partitioning, so a
+            # uniform-volume partitioned run paid the measured 1.5× sweep
+            # penalty). The (x,y)-group layout pads each of the R² groups to
+            # a tile multiple; with per-DEVICE query counts the padding
+            # inflation is n_dev× the replicated case — fold that in.
+            # ``fine_kernel`` ("auto"|"sweep"|"zcol") overrides the gate.
+            if kernel_choice == "zcol" or (
+                kernel_choice == "auto"
+                and trange >= 2048
+                and resolution <= 128
+            ):
+                zr = max(auto_zrange(s, resolution) for s in slabs_real)
+                q_per_dev = max(n_orig // max(n_dev, 1), 1)
+                pad = 1.0 + (resolution**2 * (128 - 1) / 2) / q_per_dev
+                if kernel_choice == "zcol" or 12 * zr * pad < 0.7 * 4 * trange:
+                    fine_kernel = "zcol"
+                    trange = zr  # the exact chain reuses trange as the z budget
 
-    prep = None
-    if local_search == "pallas":
-        prep = _prepare_partitioned(
-            src_dev, w_dev, part, mesh=mesh, resolution=resolution,
-            trange=trange, tile_q=128, with_normals=(estimator == "plane"),
-            fine_kernel=fine_kernel, coarse_trange=coarse_trange,
-        )
+        src_pad, w = pad_to_multiple(src_sorted.astype(dtype), n_dev)
+        src_dev = jnp.asarray(src_pad)
+        w_dev = jnp.asarray(w)
+
+        prep = None
+        if local_search == "pallas":
+            prep = _prepare_partitioned(
+                src_dev, w_dev, part, mesh=mesh, resolution=resolution,
+                trange=trange, tile_q=128, with_normals=(estimator == "plane"),
+                fine_kernel=fine_kernel, coarse_trange=coarse_trange,
+            )
 
     widen = mode == "gui"
     carry = None
@@ -829,9 +882,15 @@ def icp_register_partitioned(
     else:
         out = dispatch(carry, max_iterations, widen)
     out = dict(out)
-    out["src"] = out["src"][: len(source)]
+    if perm is None:
+        # Ingest mode: the wall-sharded registered cloud has no global
+        # inverse permutation (return_registered=False is enforced) and
+        # its shards span processes — drop it before packaging.
+        del out["src"]
+    else:
+        out["src"] = out["src"][: len(source)]
     res = package_result(out, offset, return_registered)
-    if res.source_registered is not None:
+    if perm is not None and res.source_registered is not None:
         unperm = np.empty_like(res.source_registered)
         unperm[perm] = res.source_registered
         res.source_registered = unperm

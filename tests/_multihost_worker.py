@@ -127,6 +127,57 @@ def main() -> int:
         print(f"INGEST_OK {pid} peak={stats['peak_rows']} "
               f"total={stats['total_rows']} n={n_rows}", flush=True)
 
+        # Partitioned-target streamed ingest across processes: slab walls
+        # from a file sample, each process retains ONLY its devices'
+        # slabs/shards, and the trajectory equals the single-device one.
+        from iterativeclosestpoint_tpu.parallel.ingest import (
+            header_center,
+            load_las_partitioned_source,
+            load_las_partitioned_target,
+        )
+        from iterativeclosestpoint_tpu.io.las import read_header
+        from iterativeclosestpoint_tpu.parallel.mesh import make_mesh
+        from iterativeclosestpoint_tpu.parallel.partition import (
+            icp_register_partitioned,
+        )
+
+        tgt_path = os.path.join(las_dir, "tgt.las")
+        pmesh = make_mesh(axis_names=("dp",), devices=jax.devices())
+        offset = header_center(read_header(tgt_path))
+        tstats, sstats = {}, {}
+        part, walls = load_las_partitioned_target(
+            tgt_path, pmesh, halo=2.0, offset=offset, dtype=np.float64,
+            batch_size=500, stats=tstats,
+        )
+        src_g, w_g, n_rows_p = load_las_partitioned_source(
+            src_path, pmesh, walls=walls, offset=offset, dtype=np.float64,
+            batch_size=500, stats=sstats,
+        )
+        assert tstats["peak_batch_rows"] <= 500, tstats
+        # This process retained only ~half the cloud (its 2 of 4 slabs,
+        # plus halo overlap).
+        assert tstats["retained_rows"] < tstats["total_rows"], tstats
+        assert sstats["retained_rows"] < sstats["total_rows"], sstats
+
+        res_pi = icp_register_partitioned(
+            None, None, mesh=pmesh, partition_state=part,
+            source_global=(src_g, w_g, n_rows_p), offset=offset,
+            dtype=jnp.float64, max_iterations=12, return_registered=False,
+        )
+        tgt_dec, _ = read_las(tgt_path)
+        res_pr = icp_register(
+            src_dec, tgt_dec, dtype=jnp.float64, nn_backend="bruteforce",
+            max_iterations=12, return_registered=False,
+        )
+        assert res_pi.iterations == res_pr.iterations
+        np.testing.assert_allclose(res_pi.history_rmse,
+                                   res_pr.history_rmse, rtol=1e-12)
+        np.testing.assert_allclose(res_pi.transform, res_pr.transform,
+                                   atol=1e-12)
+        print(f"PARTITION_INGEST_OK {pid} retained="
+              f"{tstats['retained_rows']}/{tstats['total_rows']}",
+              flush=True)
+
     print(f"MULTIHOST_OK {pid}", flush=True)
     return 0
 

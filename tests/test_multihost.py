@@ -27,8 +27,9 @@ def test_two_process_distributed_cpu(tmp_path):
     from iterativeclosestpoint_tpu.io.las import write_las
     from iterativeclosestpoint_tpu.utils.synth import make_registration_pair
 
-    src, _, _ = make_registration_pair(n=1001, seed=50, noise_sigma=0.02)
+    src, tgt, _ = make_registration_pair(n=1001, seed=50, noise_sigma=0.02)
     write_las(tmp_path / "src.las", src)
+    write_las(tmp_path / "tgt.las", tgt)
 
     port = _free_port()
     env = os.environ.copy()
@@ -56,3 +57,4 @@ def test_two_process_distributed_cpu(tmp_path):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"MULTIHOST_OK {pid}" in out, out
         assert f"INGEST_OK {pid}" in out, out
+        assert f"PARTITION_INGEST_OK {pid}" in out, out

@@ -343,3 +343,58 @@ def test_partitioned_zcol_kernel_matches_brute():
     np.testing.assert_allclose(res_z.history_rmse, res_b.history_rmse,
                                rtol=1e-5)
     np.testing.assert_allclose(res_z.transform, res_b.transform, atol=1e-5)
+
+
+def test_partitioned_ingest_from_files(tmp_path):
+    """Streamed partitioned ingest (multi-process 'beyond per-host RAM'
+    story): slab walls from a file sample, per-device slab buffers and
+    wall-sharded source built from bounded streaming batches, trajectory
+    equal to the plain single-device registration."""
+    from iterativeclosestpoint_tpu.io.las import read_las, write_las
+    from iterativeclosestpoint_tpu.parallel.ingest import (
+        header_center,
+        load_las_partitioned_source,
+        load_las_partitioned_target,
+        sample_x_walls,
+    )
+
+    src, tgt, _ = make_registration_pair(n=4001, seed=135, noise_sigma=0.02)
+    sp, tp = tmp_path / "s.las", tmp_path / "t.las"
+    write_las(sp, src)
+    write_las(tp, tgt)
+    mesh = make_mesh(n_devices=4)
+
+    from iterativeclosestpoint_tpu.io.las import read_header
+
+    hdr_t = read_header(tp)
+    offset = header_center(hdr_t)
+    halo = 2.0
+    tstats, sstats = {}, {}
+    part, walls = load_las_partitioned_target(
+        tp, mesh, halo=halo, offset=offset, dtype=np.float64,
+        batch_size=1000, stats=tstats,
+    )
+    src_g, w_g, n_rows = load_las_partitioned_source(
+        sp, mesh, walls=walls, offset=offset, dtype=np.float64,
+        batch_size=1000, stats=sstats,
+    )
+    assert n_rows == 4001
+    # Streaming bound: no batch ever held the full cloud.
+    assert tstats["peak_batch_rows"] <= 1000
+
+    res_p = icp_register_partitioned(
+        None, None, mesh=mesh, partition_state=part,
+        source_global=(src_g, w_g, n_rows), offset=offset,
+        dtype=jnp.float64, max_iterations=15, return_registered=False,
+    )
+    src_dec, _ = read_las(sp)
+    tgt_dec, _ = read_las(tp)
+    res_1 = icp_register(
+        src_dec, tgt_dec, dtype=jnp.float64, nn_backend="bruteforce",
+        max_iterations=15, return_registered=False,
+    )
+    assert res_p.iterations == res_1.iterations
+    np.testing.assert_array_equal(res_p.history_valid, res_1.history_valid)
+    np.testing.assert_allclose(res_p.history_rmse, res_1.history_rmse,
+                               rtol=1e-12)
+    np.testing.assert_allclose(res_p.transform, res_1.transform, atol=1e-12)
