@@ -48,10 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from iterativeclosestpoint_tpu.ops.bruteforce import nn_bruteforce
 from iterativeclosestpoint_tpu.utils.hostmath import bbox
-from iterativeclosestpoint_tpu.ops.cellblock import (
-    auto_resolution_data,
-    morton_order,
-)
+from iterativeclosestpoint_tpu.ops.cellblock import auto_resolution_data
 
 _BIG = 1.0e18
 _FAR = 1.0e6  # padding coordinate: far but square-safe in f32
@@ -267,6 +264,15 @@ def auto_trange(
             return step
     return cap
 
+
+# Coarse repair-grid row-budget cap. The sweep kernel's chunk loop is
+# UNROLLED (static per-chunk widths); Mosaic allocates the (tile_q,
+# chunk) working set PER unrolled iteration on the scoped-VMEM stack, so
+# usage grows ~1 MB per 2048 rows of trange: 16384 → ~8 MB (proven),
+# 65536 → 35 MB (measured compile failure: "scoped allocation 34.97M,
+# limit 16.00M" on the volume workload). Raising this requires a
+# fori_loop chunk sweep, not just a bigger number.
+_COARSE_TRANGE_CAP = 16384
 
 _ZRANGE_LADDER = (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
 
@@ -521,8 +527,7 @@ def estimate_grid_params(target_local, resolution=None):
     return (
         R,
         auto_trange(target_local, R),
-        auto_trange(target_local, max(R // 4, 8),
-                    floor=16384, cap=65536),
+        _COARSE_TRANGE_CAP,
     )
 
 
@@ -634,9 +639,7 @@ def make_pallas_nn_device(
         # fell through to brute at 0.38 s/iter because 4-coarse-cell
         # windows held ~16k+ rows), silently disabling the cheap repair
         # tier exactly when it is needed most.
-        coarse_trange = auto_trange(
-            target_local, coarse_resolution, floor=16384, cap=65536
-        )
+        coarse_trange = _COARSE_TRANGE_CAP
     ext = float((tmax - tmin).max())
     # Both levels in ONE jitted dispatch: fuses the elementwise prep and
     # halves the dispatch round-trips (measured 11.1 ms fused vs 16.4 ms
@@ -1667,9 +1670,7 @@ def make_pallas_nn(
     # Second level: 4× coarser grid (certificate radius 4 fine cells) for
     # straggler repair; ranges are ~16× longer, hence the larger trange.
     coarse_resolution = max(resolution // 4, 8)
-    coarse_trange = auto_trange(
-        target_local, coarse_resolution, floor=16384, cap=65536
-    )
+    coarse_trange = _COARSE_TRANGE_CAP
     coarse = build_pallas_grid(
         target_local, coarse_resolution, trange=coarse_trange,
         dtype=np.float32, normals=normals,
