@@ -398,3 +398,58 @@ def test_partitioned_ingest_from_files(tmp_path):
     np.testing.assert_allclose(res_p.history_rmse, res_1.history_rmse,
                                rtol=1e-12)
     np.testing.assert_allclose(res_p.transform, res_1.transform, atol=1e-12)
+
+
+def test_partitioned_ingest_single_device_and_empty_slab(tmp_path):
+    """Ingest-mode edge cases: a 1-device mesh (the real-chip layout) and
+    a clustered cloud that leaves one device's slab nearly empty."""
+    from iterativeclosestpoint_tpu.io.las import read_las, write_las
+    from iterativeclosestpoint_tpu.parallel.ingest import (
+        header_center,
+        load_las_partitioned_source,
+        load_las_partitioned_target,
+    )
+    from iterativeclosestpoint_tpu.io.las import read_header
+
+    rng = np.random.default_rng(9)
+    # Two dense clusters + a sparse tail: the x-quantile walls put almost
+    # everything in two slabs.
+    tgt = np.concatenate([
+        rng.normal([0, 0, 0], 0.5, (1500, 3)),
+        rng.normal([10, 0, 0], 0.5, (1500, 3)),
+        rng.uniform(-1, 11, (20, 3)),
+    ])
+    T = np.eye(4)
+    T[:3, 3] = [0.08, -0.05, 0.03]
+    src = (tgt - T[:3, 3]) + rng.normal(0, 0.005, tgt.shape)
+    sp, tp = tmp_path / "s.las", tmp_path / "t.las"
+    write_las(sp, src)
+    write_las(tp, tgt)
+
+    for n_dev in (1, 4):
+        mesh = make_mesh(n_devices=n_dev)
+        offset = header_center(read_header(tp))
+        part, walls = load_las_partitioned_target(
+            tp, mesh, halo=0.5, offset=offset, dtype=np.float64,
+            batch_size=700,
+        )
+        src_g, w_g, n_rows = load_las_partitioned_source(
+            sp, mesh, walls=walls, offset=offset, dtype=np.float64,
+            batch_size=700,
+        )
+        res_p = icp_register_partitioned(
+            None, None, mesh=mesh, partition_state=part,
+            source_global=(src_g, w_g, n_rows), offset=offset,
+            dtype=jnp.float64, max_iterations=12, return_registered=False,
+        )
+        src_dec, _ = read_las(sp)
+        tgt_dec, _ = read_las(tp)
+        res_1 = icp_register(
+            src_dec, tgt_dec, dtype=jnp.float64, nn_backend="bruteforce",
+            max_iterations=12, return_registered=False,
+        )
+        assert res_p.iterations == res_1.iterations, n_dev
+        np.testing.assert_allclose(res_p.history_rmse, res_1.history_rmse,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(res_p.transform, res_1.transform,
+                                   atol=1e-12)
