@@ -1,9 +1,27 @@
 """Mesh/sharding layer: multi-chip data-parallel ICP over ICI collectives."""
 
+from iterativeclosestpoint_tpu.parallel.ingest import (
+    load_las_partitioned_source,
+    load_las_partitioned_target,
+    load_las_sharded,
+    sample_x_walls,
+)
 from iterativeclosestpoint_tpu.parallel.mesh import make_mesh
+from iterativeclosestpoint_tpu.parallel.partition import (
+    icp_register_partitioned,
+)
 from iterativeclosestpoint_tpu.parallel.posegraph import (
     optimize_pose_graph_sharded,
 )
 from iterativeclosestpoint_tpu.parallel.sharded import icp_register_sharded
 
-__all__ = ["make_mesh", "icp_register_sharded", "optimize_pose_graph_sharded"]
+__all__ = [
+    "make_mesh",
+    "icp_register_sharded",
+    "icp_register_partitioned",
+    "optimize_pose_graph_sharded",
+    "load_las_sharded",
+    "load_las_partitioned_target",
+    "load_las_partitioned_source",
+    "sample_x_walls",
+]

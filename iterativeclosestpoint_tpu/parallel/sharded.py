@@ -10,8 +10,10 @@ per-iteration statistic — distance mean/σ, inlier counts, RMSE numerators
 reduced with ``psum`` over ICI. All devices therefore step through
 bit-identical convergence decisions, transforms and history records; only
 the NN search and the element-wise mask work is parallel. Per iteration
-the wire traffic is four small psums (a dozen scalars + a 3×3 or 6×6), so
-scaling efficiency is set by the NN kernel, not comms.
+the wire traffic is 84 bytes in point mode / 188 in plane mode (counted
+from the compiled HLO and pinned by
+tests/test_sharded.py::test_collective_payload_under_1kb), so scaling
+efficiency is set by the NN kernel, not comms.
 
 The loop body itself is ``models.icp.icp_core_impl`` — the same code as
 the single-device path, with ``axis_name='dp'`` — and large runs reuse the
