@@ -316,3 +316,35 @@ def test_cell_capacity_setting_reaches_engine(tmp_path):
     res = sess.run(config=cfg)
     assert res.success
     assert res.nn_resolution == 12
+
+
+def test_cli_graph_auto_edges_and_robust(tmp_path, capsys):
+    """`icp graph --edges auto --graph-robust tukey`: overlap-detected
+    edges + robust solve + device-residency report at the CLI surface."""
+    import numpy as np
+
+    from iterativeclosestpoint_tpu.io.las import write_las
+    from iterativeclosestpoint_tpu.utils.synth import make_cloud
+
+    world = make_cloud(6000, seed=22)
+    x = world[:, 0]
+    lo, hi = x.min(), x.max()
+    ext = hi - lo
+    paths = []
+    rng = np.random.default_rng(1)
+    for s in range(3):
+        w_lo = lo + s * 0.25 * ext
+        sel = world[(x >= w_lo) & (x <= w_lo + 0.5 * ext)]
+        p = tmp_path / f"w{s}.las"
+        write_las(p, sel + rng.normal(0, 0.004, sel.shape))
+        paths.append(str(p))
+
+    pjson = tmp_path / "poses.json"
+    rc = cli_main(["graph", *paths, "--edges", "auto",
+                   "--graph-robust", "tukey", "--poses", str(pjson),
+                   "--max-iterations", "15"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "overlap-detected edges:" in out
+    assert "device residency:" in out
+    assert "pose graph:" in out
