@@ -255,14 +255,17 @@ def main():
     log(f"warmup done: rmse={fine.rmse:.6f} fine iters={fine.iterations}")
 
     times = []
-    for _ in range(5):
+    for _ in range(int(os.environ.get("BENCH_REPS", 8))):
         t0 = time.perf_counter()
         res = icp_register_multiscale(src, tgt, **kwargs)
         times.append(time.perf_counter() - t0)
-    # Full pipeline: coarse + fine + host prep + uploads. Min of 5: the
-    # device-tunnel transfer rate in this environment swings runs by
-    # up to ~1 s, independent of the compute under test.
+    # Full pipeline: coarse + fine + host prep + uploads. Min over the
+    # reps: the device-tunnel transfer rate in this environment swings
+    # runs by 2x+ across minutes (measured 10-58 MB/s), independent of
+    # the compute under test; more reps give min() a chance to catch a
+    # representative window, and the breakdown block attributes the rest.
     elapsed = min(times)
+    log("tpu runs: " + ", ".join(f"{t:.3f}s" for t in times))
     tpu_pps = N_POINTS * ITERS / elapsed
 
     # Speed-of-light report for the hot kernels (BASELINE.md requirement):
