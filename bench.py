@@ -189,7 +189,7 @@ def _measure_zcol_sol(src, tgt, res, log):
         tgt_dev, jnp.asarray(lo3, jnp.float32), jnp.asarray(cell3),
         resolution=R, zrange=zr,
     )
-    rows, _ = pn.grouped_tile_order_device(
+    rows, weight = pn.grouped_tile_order_device(
         jnp.asarray(q), grid.origin, grid.cell_size, resolution=R,
         group="xy",
     )
@@ -206,7 +206,11 @@ def _measure_zcol_sol(src, tgt, res, log):
         out = fn()
     _sync(out)
     dt = (time.perf_counter() - t0) / 20
-    cert = float(jnp.mean(out[3].astype(jnp.float32)))
+    # Certification over REAL queries only: the (x,y)-group layout pads
+    # each group to a tile multiple with weight-0 replicas that certify
+    # trivially and would inflate the fraction.
+    w = weight.astype(jnp.float32)
+    cert = float(jnp.sum(out[3].astype(jnp.float32) * w) / jnp.sum(w))
     log(nn_kernel_report(len(q_dev), 128, 12, zr, dt, name="nn-zcol").line()
         + f"  [measured standalone, {cert*100:.1f}% certified]")
 

@@ -938,7 +938,11 @@ def icp_register(
         with stage("host_prep"):
             src_np = source - offset
             tgt_np = target - offset
-        with stage("upload", bytes=src_np.nbytes // 2 + tgt_np.nbytes // 2) as done:
+        _isz = jnp.dtype(dtype).itemsize
+        with stage(
+            "upload",
+            bytes=(len(src_np) + len(tgt_np)) * 3 * _isz,
+        ) as done:
             src_local = jnp.asarray(src_np, dtype)
             tgt_local = jnp.asarray(tgt_np, dtype)
             done((src_local, tgt_local))

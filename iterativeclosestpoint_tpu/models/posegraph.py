@@ -341,6 +341,12 @@ def register_scans(
         have no true counterpart.
       stats: optional dict; gains {"scan_uploads", "grids_built",
         "cropped_source_uploads"} — the reuse contract's observables.
+
+    NOTE: edge ICP runs default ``return_registered=False`` here (the
+    merged cloud is recomputed from the solved poses; per-edge registered
+    clouds would pull N×12 bytes per edge for nothing) — pass
+    ``return_registered=True`` in icp kwargs if edge_results[].
+    source_registered is wanted.
     """
     scans = [np.asarray(s, np.float64) for s in scans]
     if isinstance(edges, str):

@@ -196,11 +196,7 @@ def _ranges(lengths: np.ndarray) -> np.ndarray:
 # variants at 8 across arbitrarily many datasets while only ever rounding
 # UP (more certification margin, and kernel cost is measured sub-linear in
 # trange on v5e, so the overshoot is nearly free).
-_TRANGE_LADDER = (768, 1024, 1536, 2048, 3072, 4096, 6144, 8192,
-                  # coarse-repair-grid territory (floor 16384): the
-                  # upper steps exist for auto coarse_trange — the fine
-                  # trange caps at 8192 and never reaches them.
-                  12288, 16384, 24576, 32768, 49152, 65536)
+_TRANGE_LADDER = (768, 1024, 1536, 2048, 3072, 4096, 6144, 8192)
 
 # auto_trange estimates its column-count distribution from at most this many
 # points (strided subsample above it) — the host pass is O(N) numpy.
@@ -633,12 +629,11 @@ def make_pallas_nn_device(
 
     coarse_resolution = max(resolution // 4, 8)
     if coarse_trange is None:
-        # Data-adaptive, floor at the historical 16384: a FIXED coarse
-        # budget overflows on dense/boundary-heavy workloads (traced: a
-        # multi-scan edge whose boundary strip could not coarse-certify
-        # fell through to brute at 0.38 s/iter because 4-coarse-cell
-        # windows held ~16k+ rows), silently disabling the cheap repair
-        # tier exactly when it is needed most.
+        # Fixed at the proven scoped-VMEM bound (see _COARSE_TRANGE_CAP:
+        # the kernel's unrolled chunk loop makes larger budgets fail to
+        # COMPILE). Dense slabs whose 4-coarse-cell windows exceed this
+        # fall through to the budgeted brute tier — the multi-pass
+        # coarse staging + out-of-coverage certificates keep that rare.
         coarse_trange = _COARSE_TRANGE_CAP
     ext = float((tmax - tmin).max())
     # Both levels in ONE jitted dispatch: fuses the elementwise prep and
@@ -1496,20 +1491,31 @@ def nn_colsweep_exact(
         # the coarse budget at once, and each brute pass costs ~60x a
         # coarse-kernel pass (measured 0.9 s/iter of brute at an
         # 800k-point partial-overlap edge vs ~15 ms per coarse pass).
-        # Full pass p+1 is PROGRESS-gated: it fires only while passes
-        # keep certifying tiles (count strictly decreasing) — a leftover
-        # of coarse-UNCERTIFIABLE tiles (ties, true-far outliers) stops
-        # the chain instead of re-sweeping the same tiles futilely, so
-        # the certified steady state still pays only O(t) mask
-        # reductions behind false conds.
-        n_prev = jnp.sum(jnp.any(~c_t, axis=1), dtype=jnp.int32)
+        # The FIRST full pass fires on any leftover (the pre-round-3
+        # single-stage behavior — the drizzle stage may repair nothing
+        # while hundreds of later bad tiles are still certifiable, so
+        # gating pass 1 on drizzle progress could strand certifiable
+        # tiles on the ~60x brute path, or leave them UNREPAIRED past
+        # the brute budget with global_fallback off). Passes 2..N are
+        # PROGRESS-gated: they fire only while the previous pass kept
+        # certifying tiles (count strictly decreasing), so a leftover of
+        # coarse-UNCERTIFIABLE tiles (ties, true-far outliers) stops the
+        # chain instead of re-sweeping the same tiles futilely — the
+        # certified steady state pays only O(t) mask reductions behind
+        # false conds, exactly as before.
+        n_bad0 = jnp.sum(jnp.any(~c_t, axis=1), dtype=jnp.int32)
         m_t, d_t, c_t = jax.lax.cond(
-            n_prev > 0, mk_repair(ct_small), lambda c: c, (m_t, d_t, c_t)
+            n_bad0 > 0, mk_repair(ct_small), lambda c: c, (m_t, d_t, c_t)
         )
         if ct_full > ct_small:
+            n_prev = None
             for _ in range(coarse_passes):
                 n_now = jnp.sum(jnp.any(~c_t, axis=1), dtype=jnp.int32)
-                fire = (n_now > 0) & (n_now < n_prev)
+                fire = (
+                    n_now > 0
+                    if n_prev is None
+                    else (n_now > 0) & (n_now < n_prev)
+                )
                 m_t, d_t, c_t = jax.lax.cond(
                     fire, mk_repair(ct_full), lambda c: c, (m_t, d_t, c_t)
                 )

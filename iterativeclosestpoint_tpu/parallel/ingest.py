@@ -121,8 +121,20 @@ def sample_x_walls(
     path = Path(path)
     hdr = header or read_header(path)
     step = max(1, hdr.point_count // sample_cap)
-    pts, _ = read_las_range(path, 0, hdr.point_count, step=step, header=hdr)
-    qs = np.quantile(pts[:, 0], np.linspace(0, 1, n_dev + 1))
+    # Chunked strided sampling: read_las_range reads its whole byte range
+    # before striding, which would slurp the full point block into RAM on
+    # exactly the beyond-per-host-RAM files this module exists for. Read
+    # bounded chunks and stride within each instead.
+    chunk = 1_000_000
+    xs = []
+    for lo in range(0, hdr.point_count, chunk):
+        pts, _ = read_las_range(
+            path, lo, min(lo + chunk, hdr.point_count), step=step,
+            header=hdr,
+        )
+        xs.append(pts[:, 0])
+    x = np.concatenate(xs) if xs else np.zeros(1)
+    qs = np.quantile(x, np.linspace(0, 1, n_dev + 1))
     qs[0], qs[-1] = -np.inf, np.inf
     return qs, hdr
 

@@ -787,10 +787,14 @@ def icp_register_partitioned(
                 if trange <= step:
                     trange = step
                     break
-            coarse_trange = max(
-                auto_trange(s, max(resolution // 4, 8), floor=16384, cap=65536)
-                for s in slabs_real
+            # Fixed at the proven scoped-VMEM bound (see
+            # ops.pallas_nn._COARSE_TRANGE_CAP: the sweep kernel's chunk
+            # loop is unrolled, so larger budgets fail to COMPILE).
+            from iterativeclosestpoint_tpu.ops.pallas_nn import (
+                _COARSE_TRANGE_CAP,
             )
+
+            coarse_trange = _COARSE_TRANGE_CAP
             # Volume-regime gate per slab — the same cost model as
             # ops.pallas_nn.make_pallas_nn_device (round-2 verdict W3: the
             # z-column kernel did not exist under partitioning, so a
