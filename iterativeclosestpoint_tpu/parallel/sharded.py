@@ -222,6 +222,7 @@ def icp_register_sharded(
 
     dp = mesh_dp_axes(mesh)
     row_weight = None
+    nn_res = None  # resolved grid resolution (W2 observability)
     if source_global is not None:
         src_dev, w_dev = source_global[0], source_global[1]
         rows = None
@@ -231,7 +232,7 @@ def icp_register_sharded(
             )
         # NN structure from the target alone (the source is never on this
         # host in full); the query-layout permutation is skipped.
-        nn_fn, nn_state, _r, _w, _nn_res = _default_nn(
+        nn_fn, nn_state, _r, _w, nn_res = _default_nn(
             nn_backend, np.zeros((1, 3)), target - offset, dtype,
             grid_resolution, cell_capacity, estimator,
         )
@@ -246,6 +247,7 @@ def icp_register_sharded(
                 "resharding); multi-process runs use the host build path"
             )
         nn_fn, nn_state, resolution = prepared_nn
+        nn_res = resolution
         if getattr(nn_fn, "with_normals", False) != (estimator == "plane"):
             raise ValueError(
                 "prepared_nn normals do not match the estimator — rebuild "
@@ -292,7 +294,7 @@ def icp_register_sharded(
         row_weight = np.asarray(lw)
     else:
         src_np = source - offset
-        nn_fn, nn_state, rows, row_weight, _nn_res = _default_nn(
+        nn_fn, nn_state, rows, row_weight, nn_res = _default_nn(
             nn_backend, src_np, target - offset, dtype,
             grid_resolution, cell_capacity, estimator,
         )
@@ -393,6 +395,7 @@ def icp_register_sharded(
         if out["src"] is not None else None
     )
     res = package_result(out, offset, return_registered)
+    res.nn_resolution = nn_res
     if rows is not None:
         res = apply_permutation(res, rows, row_weight, n_orig)
     if T_init is not None:
