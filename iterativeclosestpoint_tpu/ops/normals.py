@@ -117,7 +117,9 @@ def _smallest_eigvec_sym3(a11, a12, a13, a22, a23, a33, p_floor):
     return best / norm[:, None], degenerate | (norm <= 1e-12)
 
 
-@functools.partial(jax.jit, static_argnames=("resolution", "min_points"))
+@functools.partial(
+    jax.jit, static_argnames=("resolution", "min_points", "mask_far")
+)
 def estimate_normals_cellpca_device(
     target,
     origin,
@@ -125,6 +127,7 @@ def estimate_normals_cellpca_device(
     *,
     resolution: int,
     min_points: int = 3,
+    mask_far: bool = False,
 ):
     """On-device twin of ``estimate_normals_cellpca`` (f32-safe).
 
@@ -146,6 +149,13 @@ def estimate_normals_cellpca_device(
         ((tgt - org[None, :]) / cs).astype(jnp.int32), 0, R - 1
     )
     cid = (coords[:, 0] * R + coords[:, 1]) * R + coords[:, 2]
+    if mask_far:
+        # _FAR-padded slab buffers (parallel/partition.py): pad rows
+        # would otherwise clip into the corner cell and poison its
+        # moments for REAL points there; route them to an overflow
+        # bucket instead (their own normals are never consumed — _FAR
+        # rows never win a 1-NN).
+        cid = jnp.where(tgt[:, 0] >= 0.5e6, R ** 3, cid)
     local = tgt - (coords.astype(jnp.float32) * cs + org[None, :])
 
     lx, ly, lz = local[:, 0], local[:, 1], local[:, 2]
@@ -154,7 +164,7 @@ def estimate_normals_cellpca_device(
          lx * lx, lx * ly, lx * lz, ly * ly, ly * lz, lz * lz],
         axis=1,
     )  # (m, 10)
-    cellmom = jnp.zeros((R ** 3, 10), jnp.float32).at[cid].add(mom)
+    cellmom = jnp.zeros((R ** 3 + 1, 10), jnp.float32).at[cid].add(mom)
     pm = cellmom[cid]  # (m, 10) — own cell's moments
     cnt = pm[:, 0]
     inv = 1.0 / jnp.maximum(cnt, 1.0)

@@ -299,6 +299,45 @@ def _prepare_partitioned(
     )(source, weight, part.halo_pts, part.halo_nrm)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "resolution"))
+def fill_partition_normals(
+    part: PartitionState, *, mesh: Mesh, resolution: int = 64
+) -> PartitionState:
+    """Per-slab device cell-PCA normals for an ingest-built
+    PartitionState (plane mode — halo_nrm arrives as zeros from
+    parallel.ingest.load_las_partitioned_target).
+
+    Each device estimates normals from ITS OWN slab buffer (slab + halo
+    covers every real point's neighborhood within the halo width), on a
+    per-slab grid from the slab's own bbox — a different grid than the
+    full-cloud estimate the non-ingest build gathers from, so normals
+    deviate at the ~1e-2 level near slab-grid cell boundaries; both are
+    valid cell-PCA estimates and the plane solve is insensitive at that
+    level (tested: ingest-plane converges to the same pose envelope).
+    """
+    from iterativeclosestpoint_tpu.ops.normals import (
+        estimate_normals_cellpca_device,
+    )
+
+    def fill(halo):
+        halo0 = halo[0]
+        real = halo0[:, 0] < _FAR * 0.5
+        big = jnp.asarray(_FAR, jnp.float32)
+        lo3 = jnp.min(jnp.where(real[:, None], halo0, big), axis=0)
+        hi3 = jnp.max(jnp.where(real[:, None], halo0, -big), axis=0)
+        cell = jnp.maximum(jnp.max(hi3 - lo3) / resolution, 1e-9)
+        nrm = estimate_normals_cellpca_device(
+            halo0, lo3, cell, resolution=resolution, mask_far=True
+        )
+        return nrm[None]
+
+    nrm = jax.shard_map(
+        fill, mesh=mesh, in_specs=P("dp"), out_specs=P("dp"),
+        check_vma=False,
+    )(part.halo_pts)
+    return part._replace(halo_nrm=nrm.astype(part.halo_nrm.dtype))
+
+
 def _collective_repair(
     axis_name: str,
     repair_budget: int,
@@ -665,14 +704,14 @@ def icp_register_partitioned(
                 "partition_state requires return_registered=False (the "
                 "wall-sharded order has no global inverse permutation)"
             )
-        if estimator == "plane":
-            raise ValueError(
-                "partition_state currently supports estimator='point'"
-            )
         offset = np.asarray(offset, np.float64)
         n_orig = int(source_global[2])
         T_init = None
         part = partition_state
+        if estimator == "plane":
+            # Ingest-built states carry zero normals; estimate per slab
+            # on device (slab+halo covers every neighborhood).
+            part = fill_partition_normals(part, mesh=mesh)
         src_dev, w_dev = source_global[0], source_global[1]
         perm = None
         if local_search == "auto":

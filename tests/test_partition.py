@@ -453,3 +453,50 @@ def test_partitioned_ingest_single_device_and_empty_slab(tmp_path):
                                    rtol=1e-12)
         np.testing.assert_allclose(res_p.transform, res_1.transform,
                                    atol=1e-12)
+
+
+def test_partitioned_ingest_plane_estimator(tmp_path):
+    """Ingest-mode plane estimator: per-slab device normals
+    (fill_partition_normals) converge the plane solve to the known pose."""
+    from iterativeclosestpoint_tpu.io.las import read_header, write_las
+    from iterativeclosestpoint_tpu.ops.se3 import registration_error
+    from iterativeclosestpoint_tpu.parallel.ingest import (
+        header_center,
+        load_las_partitioned_source,
+        load_las_partitioned_target,
+    )
+    from iterativeclosestpoint_tpu.utils.synth import (
+        apply_transform_np,
+        make_cloud,
+        random_rigid_transform,
+    )
+
+    tgt = make_cloud(6000, seed=136)
+    T = random_rigid_transform(seed=136, max_yaw_deg=1.0,
+                               max_pitch_roll_deg=0.5, max_txy=0.15,
+                               max_tz=0.1)
+    src = apply_transform_np(np.linalg.inv(T), tgt) + \
+        np.random.default_rng(2).normal(0, 0.005, tgt.shape)
+    sp, tp = tmp_path / "s.las", tmp_path / "t.las"
+    write_las(sp, src)
+    write_las(tp, tgt)
+    mesh = make_mesh(n_devices=4)
+    offset = header_center(read_header(tp))
+    part, walls = load_las_partitioned_target(
+        tp, mesh, halo=2.0, offset=offset, dtype=np.float32,
+    )
+    src_g, w_g, n_rows = load_las_partitioned_source(
+        sp, mesh, walls=walls, offset=offset, dtype=np.float32,
+    )
+    res = icp_register_partitioned(
+        None, None, mesh=mesh, partition_state=part,
+        source_global=(src_g, w_g, n_rows), offset=offset,
+        dtype=jnp.float32, estimator="plane", max_iterations=15,
+        tolerance=1e-7, return_registered=False,
+    )
+    err = float(registration_error(
+        jnp.asarray(res.transform, jnp.float64),
+        jnp.asarray(T, jnp.float64),
+        jnp.asarray(src, jnp.float64),
+    ))
+    assert err < 0.01, err
