@@ -160,6 +160,7 @@ def _gather_slabs(tgt, nrm, idx, *, mesh: Mesh, with_normals: bool):
 def build_partition_device(
     target: np.ndarray, n_dev: int, halo: float, mesh: Mesh,
     with_normals: bool = False, sels=None, los=None, his=None,
+    target_dev=None,
 ) -> PartitionState:
     """Device-side slab assembly: upload the target ONCE, gather slabs
     (and plane normals) on device.
@@ -186,7 +187,9 @@ def build_partition_device(
     for d, s in enumerate(sels):
         idx[d, : len(s)] = s.astype(np.int32)
 
-    tgt_dev = jnp.asarray(target.astype(np.float32))
+    if target_dev is None:
+        target_dev = jnp.asarray(target.astype(np.float32))
+    tgt_dev = target_dev
     idx_dev = jnp.asarray(idx)
     if with_normals:
         from iterativeclosestpoint_tpu.ops.normals import (
@@ -749,6 +752,25 @@ def icp_register_partitioned(
                 (tgt_local.max(0) - tgt_local.min(0)).max()
             )
 
+        if partition_build == "auto":
+            use_device_build = (
+                jax.default_backend() == "tpu"
+                and jnp.dtype(dtype) == jnp.float32
+            )
+        else:
+            use_device_build = partition_build == "device"
+
+        # Enqueue the big target upload BEFORE the host-side sort/slab
+        # selection/estimator passes (seconds at 10M): the transfer queue
+        # is FIFO and device_put is async, so that host work rides under
+        # the 120 MB-at-10M transfer instead of serializing ahead of it
+        # (the same ordering treatment the replicated multiscale pipeline
+        # got in round 3 — CLAUDE.md transfer-queue notes).
+        tgt_dev_early = (
+            jax.device_put(tgt_local.astype(np.float32))
+            if use_device_build else None
+        )
+
         # Sort source by x so equal-count shards line up with the target's
         # x-quantile slabs (the clouds nearly coincide after coarse alignment);
         # residual mismatch is absorbed by the halo + collective repair.
@@ -758,19 +780,12 @@ def icp_register_partitioned(
         sels, los, his = _slab_selection(tgt_local, n_dev, halo)
         m_loc = -(-max(len(s) for s in sels) // 128) * 128
 
-        if partition_build == "auto":
-            use_device_build = (
-                jax.default_backend() == "tpu"
-                and jnp.dtype(dtype) == jnp.float32
-            )
-        else:
-            use_device_build = partition_build == "device"
-
         if use_device_build:
             part = build_partition_device(
                 tgt_local, n_dev, halo, mesh,
                 with_normals=(estimator == "plane"),
                 sels=sels, los=los, his=his,
+                target_dev=tgt_dev_early,
             )
         else:
             normals = None
