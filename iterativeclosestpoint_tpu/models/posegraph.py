@@ -144,6 +144,10 @@ def optimize_pose_graph(
         ICP driver uses for coordinates (CLAUDE.md invariant). Solved
         poses are mapped back via ``T = W · T' · W⁻¹`` in f64 on host.
     """
+    if robust not in ("none", "huber", "tukey"):
+        # Same contract as icp_register: a typo like "hubert" must not
+        # silently disable outlier-edge rejection (ADVICE r3).
+        raise ValueError(f"unknown robust mode {robust!r}")
     if dtype is None:
         # f64 when x64 is on (tests/oracles); otherwise f32 without the
         # per-op truncation warnings (TPU has no f64 anyway — edge
@@ -367,6 +371,20 @@ def register_scans(
             and icp_kwargs.get("dtype", jnp.float32) == jnp.float32
             and icp_kwargs.get("nn_backend", "auto") in ("auto", "pallas")
             and icp_kwargs.get("nn_fn") is None
+            # Worthwhile only where the per-edge path would build device
+            # grids anyway: on TPU (uploads/grids dominate per-edge fixed
+            # cost) or when some edge exceeds the brute-force work bound
+            # _default_nn's "auto" uses. Small-scan CPU graphs fall back
+            # to the plain per-edge path (ADVICE r3: Pallas grid builds
+            # in interpret mode cost more than they save there).
+            and (
+                jax.default_backend() == "tpu"
+                or icp_kwargs.get("nn_backend", "auto") == "pallas"
+                or any(
+                    len(scans[i]) * len(scans[j]) > 2 ** 31
+                    for (i, j) in edges
+                )
+            )
         )
     )
 
@@ -478,12 +496,26 @@ def register_scans(
         measured.append((i, j, res.transform))
         weights.append(float(res.history_valid[-1]) if res.iterations else 1.0)
 
-    out = optimize_pose_graph(
-        measured, n_poses=len(scans), weights=weights,
-        max_iterations=pose_graph_iterations,
-        anchor=np.asarray(scans[0], np.float64).mean(axis=0),
-        robust=graph_robust,
-    )
+    anchor = np.asarray(scans[0], np.float64).mean(axis=0)
+    if mesh is not None:
+        # Production routing for mesh runs (round-3 verdict W3): the
+        # edge-sharded GN with the same anchor/IRLS mechanics as the
+        # local solver (parallel/posegraph.py).
+        from iterativeclosestpoint_tpu.parallel.posegraph import (
+            optimize_pose_graph_sharded,
+        )
+
+        out = optimize_pose_graph_sharded(
+            measured, n_poses=len(scans), weights=weights, mesh=mesh,
+            max_iterations=pose_graph_iterations, anchor=anchor,
+            robust=graph_robust,
+        )
+    else:
+        out = optimize_pose_graph(
+            measured, n_poses=len(scans), weights=weights,
+            max_iterations=pose_graph_iterations, anchor=anchor,
+            robust=graph_robust,
+        )
     out.edge_results = edge_results
     out.disconnected = _disconnected_from(len(scans), measured)
     return out

@@ -875,13 +875,162 @@ def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048,
     return kernel
 
 
+def _colsweep_fused_kernel(slabs: int, trange: int, tile_q: int,
+                           chunk: int = 2048, first_tie: bool = False):
+    """Fused-buffer variant of ``_colsweep_kernel`` for MANY SHORT slabs
+    (the z-column volume kernel's shape: 12 slot DMAs of a few hundred
+    rows each).
+
+    Round-4 W1 finding (tools/exp_zsweep.py, measured on the 1M uniform
+    workload): the slot-wise kernel runs its chunk loop at the slab
+    width — 512-lane chunks at zrange=512 — and per-chunk fixed costs
+    (DMA wait, per-dot issue overhead, min/update bookkeeping) eat ~55%
+    of the pass: 140G pair/s vs the sweep kernel's 306G pair/s at
+    2048-wide chunks, with near-LINEAR time-in-slots scaling (12→9
+    slots: −20.6%), i.e. overhead-per-chunk-bound, not DMA-latency
+    bound. Here all ``slabs`` copies land in ONE contiguous
+    (8, slabs·trange) VMEM buffer (slot s at lane offset s·trange —
+    trange is a 128-multiple, so offsets stay DMA-aligned) and the chunk
+    loop runs at the full ``chunk`` width across slot boundaries; a
+    static schedule waits each slot's semaphore right before the first
+    chunk that reads its lanes, so later DMAs still fly under earlier
+    chunks' compute.
+
+    Unlike the slot-wise kernel, a fused chunk can hold the SAME target
+    row twice: a dead slot's clamped window, the ≤127 rows of align-down
+    slack overlapping the previous slot's tail, or a slot's post-window
+    DMA tail running contiguously into the NEXT slot's window (adjacent
+    slots are CSR-adjacent columns). In the slot-wise form those land in
+    different chunks, where the strict (<) winner update keeps the tie
+    count at 1; within one chunk a duplicated winner makes the equality
+    "one-hot" multi-hot and mass-decertifies (measured 100% → 0.7%
+    certified before this mask). A second scalar-prefetch array
+    therefore carries, per slot, the packed pair
+    ``(start − base) | (min(end − start, trange) << 7)`` — lanes outside
+    [start−base, start−base+width) get d² = _BIG and never win, making
+    slot lane ranges disjoint by construction. Masking the tail only
+    removes candidates the certificate never counted on (the certificate
+    radius is measured against the guaranteed window), so exactness is
+    unchanged.
+
+    Compile bound: the chunk loop is UNROLLED and Mosaic stacks each
+    iteration's (tile_q, chunk) working set on the scoped-VMEM stack
+    (~1 MB per 2048 lanes — see _COARSE_TRANGE_CAP), so slabs·trange
+    beyond ~24576 total lanes fails to compile. Every auto-selected
+    zcol configuration (zrange ≤ 1536 via the cost-model gate) is well
+    inside; explicit larger zranges should stay on the slot-wise form.
+    """
+    total = slabs * trange
+    chunk = min(chunk, total)
+    n_chunks = -(-total // chunk)
+
+    def kernel(base_ref, slack_ref, q_ref, tgt_ref, out_ref, cand, sems):
+        i = pl.program_id(0)
+        big = _BIG
+
+        def get_dma(s):
+            b = pl.multiple_of(base_ref[i * slabs + s], 128)
+            return pltpu.make_async_copy(
+                tgt_ref.at[:, pl.ds(b, trange)],
+                cand.at[:, pl.ds(s * trange, trange)],
+                sems.at[s],
+            )
+
+        for s in range(slabs):
+            get_dma(s).start()
+
+        qx = q_ref[0, 0, :]
+        qy = q_ref[0, 1, :]
+        qz = q_ref[0, 2, :]
+
+        best_d2 = jnp.full((tile_q,), big, jnp.float32)
+        best_xyz = jnp.zeros((tile_q, 6), jnp.float32)
+        best_cnt = jnp.ones((tile_q,), jnp.float32)
+
+        waited = 0
+        for k in range(n_chunks):
+            w = min(chunk, total - k * chunk)
+            # Wait exactly the slots whose lanes this chunk reads (static
+            # schedule — slabs/trange/chunk are Python ints).
+            need = -(-(k * chunk + w) // trange)
+            while waited < need:
+                get_dma(waited).wait()
+                waited += 1
+            # Per-lane validity: lane offset within its slot must fall in
+            # [slack, slack + width). Slot boundaries inside the chunk
+            # are static, so the masks are built segment-wise.
+            segs = []
+            lo = k * chunk
+            while lo < k * chunk + w:
+                s = lo // trange
+                seg_w = min((s + 1) * trange, k * chunk + w) - lo
+                off0 = lo - s * trange
+                v = slack_ref[i * slabs + s]
+                u = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, seg_w), 1)
+                    + off0
+                    - (v & 127)
+                )
+                segs.append((u >= 0) & (u < (v >> 7)))
+                lo += seg_w
+            ok = jnp.concatenate(segs, axis=1)[0]  # (w,)
+            c = cand[:, k * chunk : k * chunk + w]  # (8, w)
+            d2 = (
+                (qx[:, None] - c[0, :][None, :]) ** 2
+                + (qy[:, None] - c[1, :][None, :]) ** 2
+                + (qz[:, None] - c[2, :][None, :]) ** 2
+            )
+            d2 = jnp.where(ok[None, :], d2, big)
+            dmin = jnp.min(d2, axis=1)
+            if first_tie:
+                j = jnp.argmin(d2, axis=1)
+                oh_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_q, w), 1
+                )
+                onehot = (oh_iota == j[:, None]).astype(jnp.float32)
+            else:
+                onehot = (d2 == dmin[:, None]).astype(jnp.float32)
+            # bf16-split exact extraction — see _colsweep_kernel.
+            c6 = c[0:6, :]
+            c_hi = c6.astype(jnp.bfloat16).astype(jnp.float32)
+            r1 = c6 - c_hi
+            c_mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+            c_lo = r1 - c_mid
+            c3 = jnp.concatenate(
+                [c_hi, c_mid, c_lo, jnp.ones((1, w), jnp.float32)],
+                axis=0,
+            )
+            ext = jax.lax.dot_general(
+                onehot, c3, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            coords = ext[:, 0:6] + ext[:, 6:12] + ext[:, 12:18]
+            take = dmin < best_d2
+            best_d2 = jnp.where(take, dmin, best_d2)
+            best_xyz = jnp.where(take[:, None], coords, best_xyz)
+            best_cnt = jnp.where(take, ext[:, 18], best_cnt)
+
+        out_ref[0, 0:6, :] = best_xyz.T
+        out_ref[0, 6, :] = best_d2
+        out_ref[0, 7, :] = best_cnt
+
+    return kernel
+
+
 def _sweep_kernel_call(base, q32, tgt_t, *, slabs: int, trange: int,
-                       tile_q: int, first_tie: bool):
+                       tile_q: int, first_tie: bool, fused: bool = False,
+                       slack=None):
     """Shared kernel invocation for the sweep variants.
 
     ``base``: (t, slabs) int32 HBM row bases (128-aligned, clamped);
     ``q32``: (t·tile_q, 3) f32 queries. Returns (t, 8, tile_q) f32 —
     rows 0-5 winner xyz+normal, row 6 d², row 7 winning-chunk hit count.
+
+    ``fused=True`` uses the contiguous-buffer kernel
+    (``_colsweep_fused_kernel``) — the many-short-slabs shape; ``slack``
+    (t, slabs) int32 then gives each slot's leading ignored-lane count
+    (alignment slack / dead-slot suppression — see the kernel docstring).
     """
     t = base.shape[0]
     # Queries transposed per tile for the kernel: (t, 8, tile_q) with the
@@ -891,12 +1040,26 @@ def _sweep_kernel_call(base, q32, tgt_t, *, slabs: int, trange: int,
         q32.reshape(t, tile_q, 3).transpose(0, 2, 1)
     )
 
-    kernel = _colsweep_kernel(slabs, trange, tile_q, first_tie=first_tie)
+    if fused:
+        kernel = _colsweep_fused_kernel(
+            slabs, trange, tile_q, first_tie=first_tie
+        )
+        scratch = [
+            pltpu.VMEM((8, slabs * trange), jnp.float32),
+            pltpu.SemaphoreType.DMA((slabs,)),
+        ]
+    else:
+        kernel = _colsweep_kernel(slabs, trange, tile_q,
+                                  first_tie=first_tie)
+        scratch = [
+            pltpu.VMEM((2, 8, trange), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
 
-    def call_kernel(base_part, q_part):
+    def call_kernel(base_part, q_part, slack_part=None):
         tp = q_part.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2 if fused else 1,
             grid=(tp,),
             in_specs=[
                 pl.BlockSpec(
@@ -911,10 +1074,12 @@ def _sweep_kernel_call(base, q32, tgt_t, *, slabs: int, trange: int,
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((2, 8, trange), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=scratch,
+        )
+        prefetch = (
+            (base_part.reshape(-1), slack_part.reshape(-1))
+            if fused
+            else (base_part.reshape(-1),)
         )
         (o,) = pl.pallas_call(
             kernel,
@@ -927,7 +1092,7 @@ def _sweep_kernel_call(base, q32, tgt_t, *, slabs: int, trange: int,
             ),
             # CPU test environments run the TPU kernel in interpreter mode.
             interpret=(jax.default_backend() != "tpu"),
-        )(base_part.reshape(-1), q_part, tgt_t)
+        )(*prefetch, q_part, tgt_t)
         return o
 
     # The scalar-prefetch base table lives in SMEM (1 MB): t·slabs int32
@@ -935,9 +1100,10 @@ def _sweep_kernel_call(base, q32, tgt_t, *, slabs: int, trange: int,
     # the tile axis into equal parts that fit — identical part shapes
     # reuse one kernel compile; each part is still tens of thousands of
     # grid steps, so the split costs nothing.
-    t_cap = max((_SMEM_PREFETCH_BUDGET // 4) // slabs, 1)
+    t_cap = max((_SMEM_PREFETCH_BUDGET // 4) // (slabs * (2 if fused else 1)),
+                1)
     if t <= t_cap:
-        return call_kernel(base, q_tiles)
+        return call_kernel(base, q_tiles, slack)
     parts = -(-t // t_cap)
     t_part = -(-t // parts)
     pad_t = parts * t_part - t
@@ -949,11 +1115,18 @@ def _sweep_kernel_call(base, q32, tgt_t, *, slabs: int, trange: int,
             [q_tiles, jnp.broadcast_to(q_tiles[-1:], (pad_t, 8, tile_q))],
             axis=0,
         )
+        if slack is not None:
+            slack = jnp.concatenate(
+                [slack, jnp.broadcast_to(slack[-1:], (pad_t, slabs))],
+                axis=0,
+            )
     return jnp.concatenate(
         [
             call_kernel(
                 base[p * t_part:(p + 1) * t_part],
                 q_tiles[p * t_part:(p + 1) * t_part],
+                slack[p * t_part:(p + 1) * t_part]
+                if slack is not None else None,
             )
             for p in range(parts)
         ],
@@ -1319,9 +1492,26 @@ def nn_colsweep_z(
     base = jnp.minimum(start, m_rows - zrange).astype(jnp.int32)
     base = (base // 128) * 128
 
+    # Fused-buffer kernel (round-4 W1): the 12 short slot DMAs land in one
+    # contiguous VMEM buffer so the chunk loop runs 2048-wide across slot
+    # boundaries — the slot-wise form paid ~55% in per-chunk fixed costs
+    # at 512-lane chunks (tools/exp_zsweep.py). ``slack`` masks each
+    # slot's leading alignment-slack lanes (dead slots entirely) so no
+    # target row appears twice within a chunk — a duplicated winner would
+    # otherwise read as an exact tie and mass-decertify. Falls back to
+    # the slot-wise form when the fused buffer would blow the unrolled
+    # chunk loop's scoped-VMEM bound (auto-selected configs never do).
+    use_fused = xy_slots * zrange <= 24576
+    # Packed (slack | width<<7): dead slots have start = end = 0 → base 0,
+    # slack 0, width 0 — every lane masked without a separate flag.
+    slack = (
+        (start - base)
+        | (jnp.minimum(end - start, zrange) << 7)
+    ).astype(jnp.int32)
     out = _sweep_kernel_call(
         base, q32, grid.tgt_t, slabs=xy_slots, trange=zrange,
         tile_q=tile_q, first_tie=first_tie,
+        fused=use_fused, slack=slack if use_fused else None,
     )
 
     d2 = out[:, 6, :].reshape(n)

@@ -197,14 +197,22 @@ def load_las_partitioned_target(
     for batch in read_las_batches(path, batch_size=batch_size):
         peak = max(peak, len(batch))
         x = batch[:, 0]
-        for d in range(n_dev):
-            sel = (x >= lo_w[d]) & (x < hi_w[d])
-            counts[d] += int(sel.sum())
-            if d in my_devs:
-                mine_pts[d].append((batch[sel] - offset).astype(dtype))
-                mine_idx[d].append(
-                    (np.nonzero(sel)[0] + row0).astype(np.int32)
-                )
+        # Single-pass bucketing (round-3 verdict W7: the per-device
+        # boolean masks were O(n_dev·N) — 256 full scans of every batch
+        # on a pod): sort the batch by x once, then every device's
+        # [wall-halo, wall+halo) range is one binary-searched slice.
+        # np.sort of the slice restores file order within the batch, so
+        # slab buffers keep the original-target-index tie order the
+        # collective combine's first-tie contract relies on.
+        order = np.argsort(x, kind="stable")
+        xs = x[order]
+        lo_ix = np.searchsorted(xs, lo_w)
+        hi_ix = np.searchsorted(xs, hi_w)
+        counts += hi_ix - lo_ix
+        for d in my_devs:
+            rows = np.sort(order[lo_ix[d]:hi_ix[d]])
+            mine_pts[d].append((batch[rows] - offset).astype(dtype))
+            mine_idx[d].append((rows + row0).astype(np.int32))
         row0 += len(batch)
     if stats is not None:
         stats["peak_batch_rows"] = peak
@@ -293,11 +301,16 @@ def load_las_partitioned_source(
     total = 0
     for batch in read_las_batches(path, batch_size=batch_size):
         x = batch[:, 0]
-        for d in range(n_dev):
-            sel = (x >= lo_w[d]) & (x < hi_w[d])
-            counts[d] += int(sel.sum())
-            if d in my_devs:
-                mine[d].append((batch[sel] - offset).astype(dtype))
+        # Single-pass bucketing (verdict W7) — disjoint wall ranges here,
+        # same sorted-slice form as the target loader.
+        order = np.argsort(x, kind="stable")
+        xs = x[order]
+        lo_ix = np.searchsorted(xs, lo_w)
+        hi_ix = np.searchsorted(xs, hi_w)
+        counts += hi_ix - lo_ix
+        for d in my_devs:
+            rows = np.sort(order[lo_ix[d]:hi_ix[d]])
+            mine[d].append((batch[rows] - offset).astype(dtype))
         total += len(batch)
     if stats is not None:
         stats["retained_rows"] = int(sum(counts[d] for d in my_devs))

@@ -713,8 +713,12 @@ def icp_register_partitioned(
         part = partition_state
         if estimator == "plane":
             # Ingest-built states carry zero normals; estimate per slab
-            # on device (slab+halo covers every neighborhood).
-            part = fill_partition_normals(part, mesh=mesh)
+            # on device (slab+halo covers every neighborhood). The
+            # normals grid honors the grid_resolution knob (ADVICE r3:
+            # it was pinned at 64 regardless of the config).
+            part = fill_partition_normals(
+                part, mesh=mesh, resolution=grid_resolution or 64
+            )
         src_dev, w_dev = source_global[0], source_global[1]
         perm = None
         if local_search == "auto":

@@ -239,3 +239,101 @@ def test_register_scans_auto_edges():
     out = register_scans(scans, edges="auto", max_iterations=10)
     assert not out.disconnected
     assert out.converged
+
+
+# ---- distributed pose-graph parity (round-3 verdict W3) -----------------
+
+
+def test_sharded_posegraph_matches_local_f32_utm_anchor():
+    """The edge-sharded GN with anchor conjugation must match the local
+    solver on UTM-frame f32 inputs — the case models/posegraph.py
+    documents as fatal for f32 without the anchor."""
+    from iterativeclosestpoint_tpu.parallel.mesh import make_mesh
+    from iterativeclosestpoint_tpu.parallel.posegraph import (
+        optimize_pose_graph_sharded,
+    )
+
+    k = 4
+    c = np.array([448_000.0, 5_264_000.0, 310.0])  # UTM-scale scene
+    poses = [np.eye(4)]
+    for s in range(1, k):
+        Tl = random_rigid_transform(seed=40 + s)
+        C = np.eye(4); C[:3, 3] = c
+        Ci = np.eye(4); Ci[:3, 3] = -c
+        poses.append(C @ Tl @ Ci)
+    edges = [
+        (i, i + 1, np.linalg.inv(poses[i]) @ poses[i + 1])
+        for i in range(k - 1)
+    ]
+    edges.append((0, k - 1, np.linalg.inv(poses[0]) @ poses[k - 1]))
+
+    local = optimize_pose_graph(edges, n_poses=k, dtype=jnp.float32,
+                                anchor=c)
+    shard = optimize_pose_graph_sharded(
+        edges, n_poses=k, mesh=make_mesh(), dtype=jnp.float32, anchor=c
+    )
+    pts = make_cloud(500, seed=2) + c
+    for s in range(k):
+        # Both within the documented f32+anchor envelope of the truth...
+        err_t = np.abs(apply_transform_np(shard.poses[s], pts)
+                       - apply_transform_np(poses[s], pts)).max()
+        assert err_t < 5e-3, (s, err_t)
+        # ...and near each other (summation order differs across shards).
+        err_l = np.abs(apply_transform_np(shard.poses[s], pts)
+                       - apply_transform_np(local.poses[s], pts)).max()
+        assert err_l < 5e-3, (s, err_l)
+
+
+def test_sharded_posegraph_tukey_rejects_outlier_edge():
+    """IRLS on the 8-device mesh: a corrupted edge must be rejected
+    exactly as the local solver rejects it (same lagged reweighting,
+    exact global median across edge shards)."""
+    from iterativeclosestpoint_tpu.parallel.mesh import make_mesh
+    from iterativeclosestpoint_tpu.parallel.posegraph import (
+        optimize_pose_graph_sharded,
+    )
+
+    k = 5
+    poses = _random_poses(k, 11)
+    edges = []
+    for i in range(k - 1):
+        edges.append((i, i + 1, np.linalg.inv(poses[i]) @ poses[i + 1]))
+    edges.append((0, k - 1, np.linalg.inv(poses[0]) @ poses[k - 1]))
+    bad = np.linalg.inv(poses[1]) @ poses[3]
+    bad[:3, 3] += np.array([2.0, -1.5, 1.0])
+    edges.append((1, 3, bad))
+
+    tukey = optimize_pose_graph_sharded(
+        edges, n_poses=k, mesh=make_mesh(), dtype=jnp.float64,
+        robust="tukey", max_iterations=40,
+    )
+    err = max(np.abs(tukey.poses[s] - poses[s]).max() for s in range(k))
+    assert err < 1e-6, err
+    with pytest.raises(ValueError, match="robust"):
+        optimize_pose_graph_sharded(edges, n_poses=k, robust="hubert")
+
+
+def test_register_scans_mesh_routes_to_sharded_solver(monkeypatch):
+    """register_scans(mesh=...) must solve the pose graph on the mesh
+    (round-3 W3: the distributed solver was never routed to)."""
+    from iterativeclosestpoint_tpu.parallel import posegraph as pp
+    from iterativeclosestpoint_tpu.parallel.mesh import make_mesh
+
+    calls = {}
+    orig = pp.optimize_pose_graph_sharded
+
+    def spy(*a, **kw):
+        calls["kw"] = kw
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pp, "optimize_pose_graph_sharded", spy)
+    scans = _overlapping_strip_scans(k=3, n=900)
+    out = register_scans(
+        scans, mesh=make_mesh(), dtype=jnp.float64,
+        nn_backend="bruteforce", max_iterations=15, tolerance=1e-7,
+        graph_robust="huber",
+    )
+    assert "kw" in calls, "mesh run did not use the sharded solver"
+    assert calls["kw"]["robust"] == "huber"
+    assert calls["kw"]["anchor"] is not None
+    assert out.converged

@@ -92,18 +92,38 @@ def test_robust_validation():
     ICPConfig(robust="huber").validate()
 
 
-def test_robust_sharded_matches_single_device():
-    """Robust weighting under shard_map dp: per-shard medians are
-    psum-averaged; result must stay within the single-device envelope."""
+def test_robust_sharded_matches_single_device_on_skewed_shards():
+    """The M-estimator scale is the exact GLOBAL masked median on every
+    path (models/icp._global_masked_median bit-pattern bisection), so the
+    sharded robust trajectory must equal the single-device one to
+    machine precision even when contamination is concentrated in ONE
+    shard's x-range — the construction that exposed the old
+    psum-averaged per-shard medians (round-3 verdict W4)."""
     from iterativeclosestpoint_tpu.parallel import icp_register_sharded
     from iterativeclosestpoint_tpu.parallel.mesh import make_mesh
 
-    src, tgt, T_true = _contaminated_pair(n=4000)
+    rng = np.random.default_rng(3)
+    n = 4000
+    tgt = make_cloud(n, seed=7)
+    T = random_rigid_transform(seed=5, max_yaw_deg=3.0,
+                               max_pitch_roll_deg=1.5, max_txy=0.5,
+                               max_tz=0.3)
+    src = apply_transform_np(np.linalg.inv(T), tgt)
+    src += rng.normal(0, 0.01, src.shape)
+    # Sort by x (dp shards are contiguous row blocks for the brute
+    # backend) and bias ONLY the lowest-x eighth — one shard holds all
+    # the contamination, so per-shard medians differ maximally.
+    src = src[np.argsort(src[:, 0])]
+    src[: n // 8, 0] += 0.25
+
     kw = dict(dtype=jnp.float64, nn_backend="bruteforce",
               max_iterations=40, tolerance=1e-9, return_registered=False)
     single = icp_register(src, tgt, robust="tukey", **kw)
     shard = icp_register_sharded(src, tgt, robust="tukey",
                                  mesh=make_mesh(), **kw)
-    e_single = _err(single, T_true, src)
-    e_shard = _err(shard, T_true, src)
-    assert e_shard < 2.5 * max(e_single, 1e-4), (e_shard, e_single)
+    assert shard.iterations == single.iterations
+    np.testing.assert_array_equal(shard.history_valid, single.history_valid)
+    np.testing.assert_allclose(shard.history_rmse, single.history_rmse,
+                               rtol=1e-12)
+    np.testing.assert_allclose(shard.transform, single.transform,
+                               atol=1e-12)

@@ -263,8 +263,14 @@ def _collective_payload_bytes(hlo_text):
     return total, ops
 
 
-@pytest.mark.parametrize("estimator", ["point", "plane"])
-def test_collective_payload_under_1kb(estimator):
+@pytest.mark.parametrize("estimator,robust", [
+    ("point", "none"), ("plane", "none"),
+    # Robust mode adds the median bisection: one scalar s32 all-reduce
+    # in the HLO, executed 63 times (f64) per iteration — ~250 B of
+    # extra wire per iteration, still far inside the invariant.
+    ("point", "tukey"),
+])
+def test_collective_payload_under_1kb(estimator, robust):
     """SCALING.md's multi-host efficiency model rests on <1 KB of
     collective payload per iteration (round-2 verdict W8: asserted, never
     pinned). Lower the sharded iteration and count the bytes every
@@ -299,7 +305,7 @@ def test_collective_payload_under_1kb(estimator):
     lowered = _icp_core_sharded.lower(
         src, w, tgt, nn_state, None, nn_fn=nn_fn, max_iterations=10,
         tolerance=1e-6, sigma_multiplier=3.0, widen_first=True, mesh=mesh,
-        estimator=estimator,
+        estimator=estimator, robust=robust,
     )
     total, ops = _collective_payload_bytes(lowered.compile().as_text())
     assert ops, "no collectives found — the sharded program changed shape"
