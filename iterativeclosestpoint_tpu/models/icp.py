@@ -843,6 +843,16 @@ _apply_transform_jit = jax.jit(apply_transform)
 _SCALAR_CACHE: dict = {}
 
 
+def _dev_scalar_eye(dtype):
+    """Device-resident 4×4 identity, cached per dtype (see _dev_scalar)."""
+    key = ("eye4", jnp.dtype(dtype).name)
+    v = _SCALAR_CACHE.get(key)
+    if v is None:
+        v = jnp.asarray(np.eye(4), dtype)
+        _SCALAR_CACHE[key] = v
+    return v
+
+
 def _dev_scalar(value, dtype):
     """Device-resident scalar, cached per (value, dtype).
 
@@ -1007,11 +1017,15 @@ def icp_register(
                 f"estimator={estimator!r} — rebuild the factory to match"
             )
         grid0 = nn_state[0]
-        T_loc = (
-            _rebase_transform(T_init, -offset)
-            if (T_init is not None and device_data is not None)
-            else np.eye(4)
-        )
+        if T_init is not None and device_data is not None:
+            T_loc = _rebase_transform(T_init, -offset)
+        else:
+            # Cached device identity: the only per-call host→device
+            # transfer left on the prepared path — through the FIFO
+            # transfer queue even a 64 B upload queued behind another
+            # edge's staged bulk uploads stalls the prep dispatch
+            # (multi-scan pipelining, round-4 W5).
+            T_loc = _dev_scalar_eye(dtype)
         with stage("prep") as done:
             src_local, rows, row_weight = _prep_fine_source(
                 src_local, jnp.asarray(T_loc, dtype), grid0.origin,

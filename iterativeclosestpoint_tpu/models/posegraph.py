@@ -303,6 +303,7 @@ def register_scans(
     pose_graph_iterations: int = 20,
     multiscale: bool = False,
     mesh=None,
+    partition: bool = False,
     graph_robust: str = "none",
     reuse_device: "bool | str" = "auto",
     min_overlap: float = 0.25,
@@ -326,6 +327,13 @@ def register_scans(
       mesh: device mesh; non-multiscale edges then run data-parallel
         (parallel.icp_register_sharded), multiscale edges shard their
         fine level.
+      partition: with ``mesh``, run each edge with the TARGET spatially
+        partitioned across the mesh (parallel.icp_register_partitioned)
+        — the scan regime whose per-edge slab build exceeds the
+        replicated path's memory envelope (round-3 verdict W6). The
+        pose-invariant per-target prep (slab PartitionState + grid
+        params, parallel.partition.prepare_partition) is cached across
+        edges sharing a target, like the replicated path's grid cache.
       graph_robust: "huber" IRLS-downweights gross-outlier edges in the
         pose-graph solve (a wrong-basin ICP edge no longer drags every
         pose).
@@ -451,25 +459,50 @@ def register_scans(
         # scan (the 3σ gate + graph robustness absorb what it can).
         return sub if len(sub) >= 512 else scans[j]
 
+    def _stage(i, j):
+        """Host-crop edge (i, j) and enqueue its device transfers.
+
+        Pure async device_puts, NO program dispatch: the grid-build
+        dispatch stays deferred to the edge's own turn (the multiscale
+        deferred-build discipline), so the in-flight edge's loop — whose
+        inputs are already resident and whose remaining scalars are all
+        device-cached — never queues behind these bulk uploads. Called
+        for edge k+1 right before edge k's loop dispatch, the uploads
+        ride the tunnel under edge k's device time (round-3 verdict W5:
+        the 4×800k job spent ~4× its 2.2 s edge-loop device time on
+        serially dispatched per-edge fixed costs).
+        """
+        src_j = edge_source(i, j)
+        if not use_reuse:
+            return src_j, None
+        src_dev = _jax.device_put((src_j - offset).astype(np.float32))
+        if stats is not None:
+            stats["cropped_source_uploads"] = (
+                stats.get("cropped_source_uploads", 0) + 1
+            )
+        target_dev(i)  # enqueue the full-target upload too (cached)
+        return src_j, src_dev
+
     measured = []
     weights = []
     edge_results = []
-    for (i, j) in edges:
+    prepared_partitions: dict = {}
+    staged = _stage(*edges[0]) if edges else None
+    for idx, (i, j) in enumerate(edges):
         # ICP maps scan j (source) onto scan i (target): P_i = T · P_j.
-        src_j = edge_source(i, j)
+        src_j, src_dev = staged
         if use_reuse:
             kw = {k: v for k, v in icp_kwargs.items() if k != "nn_backend"}
-            src_dev = _jax.device_put(
-                (src_j - offset).astype(np.float32)
-            )
-            if stats is not None:
-                stats["cropped_source_uploads"] = (
-                    stats.get("cropped_source_uploads", 0) + 1
-                )
+            # Grid build for THIS edge dispatches now (its target upload
+            # was staged earlier); then stage edge k+1's uploads before
+            # the loop dispatch so they ride under the loop's compute.
+            prep = prepared_for(i)
+            if idx + 1 < len(edges):
+                staged = _stage(*edges[idx + 1])
             res = icp_register(
                 src_j, scans[i],
                 device_data=(src_dev, target_dev(i), offset),
-                prepared_nn=prepared_for(i), **kw,
+                prepared_nn=prep, **kw,
             )
         elif multiscale:
             from iterativeclosestpoint_tpu.models.multiscale import (
@@ -479,6 +512,29 @@ def register_scans(
             res = icp_register_multiscale(
                 src_j, scans[i], mesh=mesh, **icp_kwargs
             ).final
+        elif mesh is not None and partition:
+            from iterativeclosestpoint_tpu.parallel.partition import (
+                icp_register_partitioned,
+                prepare_partition,
+            )
+
+            kw = {k: v for k, v in icp_kwargs.items()
+                  if k != "nn_backend"}
+            if i not in prepared_partitions:
+                prepared_partitions[i] = prepare_partition(
+                    scans[i], mesh=mesh,
+                    estimator=icp_kwargs.get("estimator", "point"),
+                    dtype=icp_kwargs.get("dtype", jnp.float32),
+                    n_queries_hint=len(src_j),
+                )
+                if stats is not None:
+                    stats["partitions_built"] = (
+                        stats.get("partitions_built", 0) + 1
+                    )
+            res = icp_register_partitioned(
+                src_j, scans[i], mesh=mesh,
+                prepared_partition=prepared_partitions[i], **kw,
+            )
         elif mesh is not None:
             from iterativeclosestpoint_tpu.parallel.sharded import (
                 icp_register_sharded,
@@ -489,6 +545,8 @@ def register_scans(
             )
         else:
             res = icp_register(src_j, scans[i], **icp_kwargs)
+        if not use_reuse and idx + 1 < len(edges):
+            staged = _stage(*edges[idx + 1])
         edge_results.append(res)
         if not res.success:
             continue

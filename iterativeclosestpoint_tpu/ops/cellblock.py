@@ -66,12 +66,17 @@ def morton_encode(cells: np.ndarray, bits: int = 10) -> np.ndarray:
 
 
 def auto_resolution_data(
-    target: np.ndarray, occupancy: int = 128, probe: int = 32
+    target: np.ndarray, occupancy: int = 128, probe: int = 32,
+    population: "int | None" = None,
 ) -> int:
     """Data-aware resolution: probe occupied-cell counts at two scales to
     estimate the cloud's box dimension d (≈2 for scan surfaces, ≈3 for
     volumes), then pick R with mean occupied-cell occupancy ≈ ``occupancy``
-    (the measured sweet spot for tile certification vs slab size)."""
+    (the measured sweet spot for tile certification vs slab size).
+
+    ``population``: when ``target`` is a strided sample of a larger
+    cloud (streamed-ingest slab estimation), the true point count — the
+    occupancy target is sized for the full cloud."""
     target = np.asarray(target)
     tmin, tmax = bbox(target)
     extent = float((tmax - tmin).max()) or 1.0
@@ -99,8 +104,9 @@ def auto_resolution_data(
     c1 = occupied(probe)
     c2 = occupied(probe * 2)
     d = min(max(np.log2(c2 / c1), 1.0), 3.0)
-    # cells(R) ≈ c1 · (R/probe)^d ; want len(target)/cells(R) ≈ occupancy.
-    r = probe * (len(target) / (occupancy * c1)) ** (1.0 / d)
+    pop = population if population is not None else len(target)
+    # cells(R) ≈ c1 · (R/probe)^d ; want pop/cells(R) ≈ occupancy.
+    r = probe * (pop / (occupancy * c1)) ** (1.0 / d)
     r = 1 << int(np.clip(np.round(np.log2(max(r, 1))), 3, 9))
     return int(r)
 

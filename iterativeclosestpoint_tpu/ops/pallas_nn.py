@@ -209,6 +209,7 @@ def auto_trange(
     y_window: int = 4,
     floor: int = 768,
     cap: int = 8192,
+    population: "int | None" = None,
 ) -> int:
     """Data-adaptive slab range (rows per slab DMA).
 
@@ -225,12 +226,21 @@ def auto_trange(
     layout aging (the query layout is built at the fine level's starting
     pose; spans grow as ICP moves the source). On the 1M-terrain bench
     workload this reproduces the hand-tuned optimum (1536) exactly.
+
+    ``population``: when ``target`` is itself a strided SAMPLE of a
+    larger cloud (streamed-ingest slab estimation, parallel/ingest.py —
+    no process ever holds the slab), the true point count; window counts
+    are scaled up by population/len(target) so the estimate sizes the
+    full slab's rows, not the sample's.
     """
     target = np.asarray(target)
     R = resolution
     tmin, tmax = bbox(target)
     extent = float((tmax - tmin).max()) or 1.0
     cell = max(extent / R, 1e-9)
+    pop_scale = (
+        1.0 if population is None else population / max(len(target), 1)
+    )
     # Above ~2M points, estimate the distribution from a strided subsample
     # (scaled back up): the full-array bincount pass costs hundreds of ms
     # of host time at 10M, and the p99.9 of window sums is insensitive to
@@ -241,6 +251,8 @@ def auto_trange(
     c = np.clip(((sampled - tmin[:2]) / cell).astype(np.int64),
                 0, R - 1)
     counts = np.bincount(c[:, 0] * R + c[:, 1], minlength=R * R) * stride
+    if pop_scale != 1.0:
+        counts = (counts * pop_scale).astype(np.int64)
     counts = counts.reshape(R, R)
     cs = np.concatenate(
         [np.zeros((R, 1), np.int64), np.cumsum(counts, axis=1)], axis=1
@@ -279,6 +291,7 @@ def auto_zrange(
     tile_q: int = 128,
     floor: int = 256,
     cap: int = 4096,
+    population: "int | None" = None,
 ) -> int:
     """Data-adaptive z-window row budget for the column kernel
     (``nn_colsweep_z``) — the z-axis analog of ``auto_trange``:
@@ -300,13 +313,17 @@ def auto_zrange(
     R = resolution
     tmin, tmax = bbox(target)
     cell = np.maximum((tmax - tmin) / R, 1e-9)
+    pop = population if population is not None else len(target)
+    pop_scale = pop / max(len(target), 1)
     stride = max(1, len(target) // _AUTO_TRANGE_SAMPLE_CAP)
     sampled = target[::stride]
     c = np.clip(((sampled - tmin) / cell).astype(np.int64), 0, R - 1)
     cid = (c[:, 0] * R + c[:, 1]) * R + c[:, 2]
     counts = (np.bincount(cid, minlength=R**3) * stride).reshape(R * R, R)
+    if pop_scale != 1.0:
+        counts = (counts * pop_scale).astype(np.int64)
     occ_cells = max(int((counts > 0).sum()), 1)
-    occ = max(len(target) / occ_cells, 1.0)   # points per occupied cell
+    occ = max(pop / occ_cells, 1.0)   # points per occupied cell
     span = int(np.ceil(tile_q / occ))          # expected tile z-span
     z_window = span + 4                        # ±1 dilation + aging margin
     cs = np.concatenate(

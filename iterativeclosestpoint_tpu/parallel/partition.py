@@ -618,6 +618,155 @@ def _icp_core_partitioned(
     )
 
 
+def prepare_partition(
+    target,
+    *,
+    mesh: Optional[Mesh] = None,
+    halo: Optional[float] = None,
+    dtype=jnp.float32,
+    center: bool = True,
+    estimator: str = "point",
+    local_search: str = "auto",
+    partition_build: str = "auto",
+    fine_kernel: str = "auto",
+    grid_resolution: Optional[int] = None,
+    n_queries_hint: Optional[int] = None,
+) -> dict:
+    """Pose-invariant per-TARGET prep for :func:`icp_register_partitioned`:
+    centering offset, slab PartitionState (+normals in plane mode),
+    resolved local-search backend and grid parameters.
+
+    The target never moves during ICP, so everything here is reusable
+    across every registration sharing the target — multi-scan graphs
+    pass the result as ``prepared_partition=`` per edge (the partition
+    analog of register_scans' ``prepared_for`` grid cache; round-3
+    verdict W6). ``n_queries_hint`` feeds the zcol cost-model gate's
+    padding term (default: the target size — pass the expected source
+    size when it differs a lot).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if estimator not in ("point", "plane"):
+        raise ValueError(f"unknown estimator {estimator!r}")
+    target = np.asarray(target, np.float64)
+    offset = hostmath.center_offset(target) if center else np.zeros(3)
+    tgt_local = target - offset
+    if halo is None:
+        halo = 0.02 * float((tgt_local.max(0) - tgt_local.min(0)).max())
+
+    if partition_build == "auto":
+        use_device_build = (
+            jax.default_backend() == "tpu"
+            and jnp.dtype(dtype) == jnp.float32
+        )
+    else:
+        use_device_build = partition_build == "device"
+
+    # Enqueue the big target upload BEFORE the host-side sort/slab
+    # selection/estimator passes (seconds at 10M): the transfer queue
+    # is FIFO and device_put is async, so that host work rides under
+    # the transfer instead of serializing ahead of it.
+    tgt_dev_early = (
+        jax.device_put(tgt_local.astype(np.float32))
+        if use_device_build else None
+    )
+
+    sels, los, his = _slab_selection(tgt_local, n_dev, halo)
+    m_loc = -(-max(len(s) for s in sels) // 128) * 128
+
+    if use_device_build:
+        part = build_partition_device(
+            tgt_local, n_dev, halo, mesh,
+            with_normals=(estimator == "plane"),
+            sels=sels, los=los, his=his,
+            target_dev=tgt_dev_early,
+        )
+    else:
+        normals = None
+        if estimator == "plane":
+            # Device normals build + one pull (the host cell-PCA
+            # allocates O(R³) f64 moment arrays — ~2 min of numpy at
+            # 10M/R=256, vs ~2 s on device including the tunnel pull).
+            from iterativeclosestpoint_tpu.ops.normals import (
+                estimate_normals_cellpca_device,
+            )
+
+            r0 = auto_resolution_data(tgt_local)
+            tmin = tgt_local.min(axis=0)
+            ext0 = float((tgt_local.max(axis=0) - tmin).max()) or 1.0
+            normals = np.asarray(
+                estimate_normals_cellpca_device(
+                    jnp.asarray(tgt_local, jnp.float32),
+                    jnp.asarray(tmin, jnp.float32),
+                    jnp.asarray(max(ext0 / r0, 1e-9), jnp.float32),
+                    resolution=r0,
+                )
+            ).astype(dtype)
+        part = build_partition(tgt_local, n_dev, halo, dtype=dtype,
+                               normals=normals)
+
+    if local_search == "auto":
+        local_search = (
+            "pallas"
+            if (jax.default_backend() == "tpu" and m_loc > 131072
+                and jnp.dtype(dtype) == jnp.float32)
+            else "brute"
+        )
+    resolution = trange = coarse_trange = 0
+    kernel_choice = fine_kernel
+    fine_kernel = "sweep"
+    if local_search == "pallas":
+        from iterativeclosestpoint_tpu.ops.pallas_nn import (
+            _COARSE_TRANGE_CAP,
+            _TRANGE_LADDER,
+            auto_trange,
+            auto_zrange,
+        )
+
+        # Shared static grid params: per-slab data-adaptive estimates
+        # from the HOST slices (pulling the assembled slab buffers back
+        # through the tunnel costs ~2 s at 10M), maxed across devices and
+        # ladder-quantized (compile reuse).
+        slabs_real = [tgt_local[s] for s in sels if len(s)]
+        resolution = grid_resolution or max(
+            auto_resolution_data(s) for s in slabs_real
+        )
+        trange = max(auto_trange(s, resolution) for s in slabs_real)
+        for step in _TRANGE_LADDER:
+            if trange <= step:
+                trange = step
+                break
+        # Fixed at the proven scoped-VMEM bound (the sweep kernel's
+        # chunk loop is unrolled, so larger budgets fail to COMPILE).
+        coarse_trange = _COARSE_TRANGE_CAP
+        # Volume-regime gate per slab — the same cost model as
+        # ops.pallas_nn.make_pallas_nn_device. The (x,y)-group layout
+        # pads each of the R² groups to a tile multiple; with per-DEVICE
+        # query counts the padding inflation is n_dev× the replicated
+        # case — fold that in.
+        n_q = n_queries_hint or len(target)
+        if kernel_choice == "zcol" or (
+            kernel_choice == "auto"
+            and trange >= 2048
+            and resolution <= 128
+        ):
+            zr = max(auto_zrange(s, resolution) for s in slabs_real)
+            q_per_dev = max(n_q // max(n_dev, 1), 1)
+            pad = 1.0 + (resolution**2 * (128 - 1) / 2) / q_per_dev
+            if kernel_choice == "zcol" or 12 * zr * pad < 0.7 * 4 * trange:
+                fine_kernel = "zcol"
+                trange = zr  # the exact chain reuses trange as the z budget
+
+    return dict(
+        mesh=mesh, offset=offset, halo=float(halo), part=part,
+        m_loc=m_loc, local_search=local_search, resolution=resolution,
+        trange=trange, coarse_trange=coarse_trange,
+        fine_kernel=fine_kernel, with_normals=(estimator == "plane"),
+        dtype=jnp.dtype(dtype),
+    )
+
+
 def icp_register_partitioned(
     source,
     target,
@@ -648,6 +797,8 @@ def icp_register_partitioned(
     partition_state=None,
     source_global=None,
     offset=None,
+    prepared_partition: Optional[dict] = None,
+    grid_params: Optional[dict] = None,
 ) -> ICPResult:
     """ICP with the target spatially partitioned across the mesh.
 
@@ -715,25 +866,49 @@ def icp_register_partitioned(
             # Ingest-built states carry zero normals; estimate per slab
             # on device (slab+halo covers every neighborhood). The
             # normals grid honors the grid_resolution knob (ADVICE r3:
-            # it was pinned at 64 regardless of the config).
+            # it was pinned at 64 regardless of the config) or the
+            # sampled estimate.
             part = fill_partition_normals(
-                part, mesh=mesh, resolution=grid_resolution or 64
+                part, mesh=mesh,
+                resolution=grid_resolution
+                or (grid_params or {}).get("resolution")
+                or 64,
             )
         src_dev, w_dev = source_global[0], source_global[1]
         perm = None
-        if local_search == "auto":
-            local_search = "brute"
-        if local_search != "brute":
-            raise ValueError(
-                "partition_state supports local_search='brute' (per-slab "
-                "grid params need host slab samples)"
+        if grid_params is not None and local_search in ("auto", "pallas"):
+            # Sampled per-slab grid params (round-3 verdict W2:
+            # parallel.ingest.estimate_partition_grid_params computes
+            # them from a strided file sample — no process ever holds a
+            # slab) unlock the certified Pallas kernel chain on the
+            # beyond-RAM path; the per-device grids build on device from
+            # the sharded slab buffers exactly as the host-array path.
+            local_search = "pallas"
+            resolution = grid_params["resolution"]
+            trange = grid_params["trange"]
+            coarse_trange = grid_params["coarse_trange"]
+            fine_kernel = grid_params["fine_kernel"]
+            prep = _prepare_partitioned(
+                src_dev, w_dev, part, mesh=mesh, resolution=resolution,
+                trange=trange, tile_q=128,
+                with_normals=(estimator == "plane"),
+                fine_kernel=fine_kernel, coarse_trange=coarse_trange,
             )
-        resolution = trange = coarse_trange = 0
-        fine_kernel = "sweep"
-        prep = None
+        else:
+            if local_search == "auto":
+                local_search = "brute"
+            if local_search != "brute":
+                raise ValueError(
+                    "partition_state with local_search='pallas' needs "
+                    "grid_params (parallel.ingest."
+                    "estimate_partition_grid_params — per-slab grid "
+                    "parameters from the strided file sample)"
+                )
+            resolution = trange = coarse_trange = 0
+            fine_kernel = "sweep"
+            prep = None
     else:
         source = np.asarray(source, np.float64)
-        target = np.asarray(target, np.float64)
         n_orig = len(source)
         T_init = None
         if initial_transform is not None:
@@ -745,133 +920,35 @@ def icp_register_partitioned(
                 )
             T_init = np.asarray(initial_transform, np.float64)
             source = source @ T_init[:3, :3].T + T_init[:3, 3]
-        offset = (
-            hostmath.center_offset(target)
-            if center else np.zeros(3)
-        )
-        tgt_local = target - offset
+        if prepared_partition is None:
+            prepared_partition = prepare_partition(
+                target, mesh=mesh, halo=halo, dtype=dtype, center=center,
+                estimator=estimator, local_search=local_search,
+                partition_build=partition_build, fine_kernel=fine_kernel,
+                grid_resolution=grid_resolution,
+                n_queries_hint=n_orig,
+            )
+        pp = prepared_partition
+        if pp["with_normals"] != (estimator == "plane"):
+            raise ValueError(
+                "prepared_partition was built with with_normals="
+                f"{pp['with_normals']} but estimator={estimator!r} — "
+                "rebuild the partition to match"
+            )
+        offset = pp["offset"]
+        part = pp["part"]
+        local_search = pp["local_search"]
+        resolution = pp["resolution"]
+        trange = pp["trange"]
+        coarse_trange = pp["coarse_trange"]
+        fine_kernel = pp["fine_kernel"]
         src_local = source - offset
-        if halo is None:
-            halo = 0.02 * float(
-                (tgt_local.max(0) - tgt_local.min(0)).max()
-            )
-
-        if partition_build == "auto":
-            use_device_build = (
-                jax.default_backend() == "tpu"
-                and jnp.dtype(dtype) == jnp.float32
-            )
-        else:
-            use_device_build = partition_build == "device"
-
-        # Enqueue the big target upload BEFORE the host-side sort/slab
-        # selection/estimator passes (seconds at 10M): the transfer queue
-        # is FIFO and device_put is async, so that host work rides under
-        # the 120 MB-at-10M transfer instead of serializing ahead of it
-        # (the same ordering treatment the replicated multiscale pipeline
-        # got in round 3 — CLAUDE.md transfer-queue notes).
-        tgt_dev_early = (
-            jax.device_put(tgt_local.astype(np.float32))
-            if use_device_build else None
-        )
 
         # Sort source by x so equal-count shards line up with the target's
         # x-quantile slabs (the clouds nearly coincide after coarse alignment);
         # residual mismatch is absorbed by the halo + collective repair.
         perm = np.argsort(src_local[:, 0], kind="stable")
         src_sorted = src_local[perm]
-
-        sels, los, his = _slab_selection(tgt_local, n_dev, halo)
-        m_loc = -(-max(len(s) for s in sels) // 128) * 128
-
-        if use_device_build:
-            part = build_partition_device(
-                tgt_local, n_dev, halo, mesh,
-                with_normals=(estimator == "plane"),
-                sels=sels, los=los, his=his,
-                target_dev=tgt_dev_early,
-            )
-        else:
-            normals = None
-            if estimator == "plane":
-                # Device normals build + one pull (the host cell-PCA
-                # allocates O(R³) f64 moment arrays — ~2 min of numpy at
-                # 10M/R=256, vs ~2 s on device including the tunnel pull).
-                from iterativeclosestpoint_tpu.ops.normals import (
-                    estimate_normals_cellpca_device,
-                )
-
-                r0 = auto_resolution_data(tgt_local)
-                tmin = tgt_local.min(axis=0)
-                ext0 = float((tgt_local.max(axis=0) - tmin).max()) or 1.0
-                normals = np.asarray(
-                    estimate_normals_cellpca_device(
-                        jnp.asarray(tgt_local, jnp.float32),
-                        jnp.asarray(tmin, jnp.float32),
-                        jnp.asarray(max(ext0 / r0, 1e-9), jnp.float32),
-                        resolution=r0,
-                    )
-                ).astype(dtype)
-            part = build_partition(tgt_local, n_dev, halo, dtype=dtype,
-                                   normals=normals)
-
-        if local_search == "auto":
-            local_search = (
-                "pallas"
-                if (jax.default_backend() == "tpu" and m_loc > 131072
-                    and jnp.dtype(dtype) == jnp.float32)
-                else "brute"
-            )
-        resolution = trange = coarse_trange = 0
-        kernel_choice = fine_kernel
-        fine_kernel = "sweep"
-        if local_search == "pallas":
-            from iterativeclosestpoint_tpu.ops.pallas_nn import (
-                _TRANGE_LADDER,
-                auto_trange,
-                auto_zrange,
-            )
-
-            # Shared static grid params: per-slab data-adaptive estimates
-            # from the HOST slices (pulling the assembled slab buffers back
-            # through the tunnel costs ~2 s at 10M), maxed across devices and
-            # ladder-quantized (compile reuse).
-            slabs_real = [tgt_local[s] for s in sels if len(s)]
-            resolution = grid_resolution or max(
-                auto_resolution_data(s) for s in slabs_real
-            )
-            trange = max(auto_trange(s, resolution) for s in slabs_real)
-            for step in _TRANGE_LADDER:
-                if trange <= step:
-                    trange = step
-                    break
-            # Fixed at the proven scoped-VMEM bound (see
-            # ops.pallas_nn._COARSE_TRANGE_CAP: the sweep kernel's chunk
-            # loop is unrolled, so larger budgets fail to COMPILE).
-            from iterativeclosestpoint_tpu.ops.pallas_nn import (
-                _COARSE_TRANGE_CAP,
-            )
-
-            coarse_trange = _COARSE_TRANGE_CAP
-            # Volume-regime gate per slab — the same cost model as
-            # ops.pallas_nn.make_pallas_nn_device (round-2 verdict W3: the
-            # z-column kernel did not exist under partitioning, so a
-            # uniform-volume partitioned run paid the measured 1.5× sweep
-            # penalty). The (x,y)-group layout pads each of the R² groups to
-            # a tile multiple; with per-DEVICE query counts the padding
-            # inflation is n_dev× the replicated case — fold that in.
-            # ``fine_kernel`` ("auto"|"sweep"|"zcol") overrides the gate.
-            if kernel_choice == "zcol" or (
-                kernel_choice == "auto"
-                and trange >= 2048
-                and resolution <= 128
-            ):
-                zr = max(auto_zrange(s, resolution) for s in slabs_real)
-                q_per_dev = max(n_orig // max(n_dev, 1), 1)
-                pad = 1.0 + (resolution**2 * (128 - 1) / 2) / q_per_dev
-                if kernel_choice == "zcol" or 12 * zr * pad < 0.7 * 4 * trange:
-                    fine_kernel = "zcol"
-                    trange = zr  # the exact chain reuses trange as the z budget
 
         src_pad, w = pad_to_multiple(src_sorted.astype(dtype), n_dev)
         src_dev = jnp.asarray(src_pad)

@@ -178,6 +178,31 @@ def main() -> int:
               f"{tstats['retained_rows']}/{tstats['total_rows']}",
               flush=True)
 
+        # Sampled grid params unlock the certified Pallas kernel chain on
+        # the streamed-ingest path (round-3 verdict W2): same trajectory
+        # as the exact brute run above within the kernel's f32 envelope,
+        # computed with no process ever holding a slab.
+        from iterativeclosestpoint_tpu.parallel.ingest import (
+            estimate_partition_grid_params,
+        )
+
+        gp = estimate_partition_grid_params(
+            tgt_path, walls, halo=2.0, grid_resolution=8
+        )
+        assert gp["local_search"] == "pallas"
+        res_pp = icp_register_partitioned(
+            None, None, mesh=pmesh, partition_state=part,
+            source_global=(src_g, w_g, n_rows_p), offset=offset,
+            dtype=jnp.float64, max_iterations=12, return_registered=False,
+            grid_params=gp,
+        )
+        assert res_pp.iterations == res_pr.iterations
+        np.testing.assert_allclose(res_pp.history_rmse,
+                                   res_pr.history_rmse, rtol=1e-5)
+        np.testing.assert_allclose(res_pp.transform, res_pr.transform,
+                                   atol=1e-5)
+        print(f"PARTITION_PALLAS_OK {pid} gp={gp}", flush=True)
+
     print(f"MULTIHOST_OK {pid}", flush=True)
     return 0
 

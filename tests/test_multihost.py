@@ -58,3 +58,4 @@ def test_two_process_distributed_cpu(tmp_path):
         assert f"MULTIHOST_OK {pid}" in out, out
         assert f"INGEST_OK {pid}" in out, out
         assert f"PARTITION_INGEST_OK {pid}" in out, out
+        assert f"PARTITION_PALLAS_OK {pid}" in out, out

@@ -500,3 +500,144 @@ def test_partitioned_ingest_plane_estimator(tmp_path):
         jnp.asarray(src, jnp.float64),
     ))
     assert err < 0.01, err
+
+
+def test_partitioned_ingest_pallas_grid_params(tmp_path):
+    """Sampled per-slab grid params (estimate_partition_grid_params)
+    unlock local_search='pallas' on the streamed-ingest path (round-3
+    verdict W2: it was locked to the ~60x slower per-slab brute search):
+    the certified kernel chain trajectory equals the ingest-brute one."""
+    from iterativeclosestpoint_tpu.io.las import read_header, write_las
+    from iterativeclosestpoint_tpu.parallel.ingest import (
+        estimate_partition_grid_params,
+        header_center,
+        load_las_partitioned_source,
+        load_las_partitioned_target,
+    )
+
+    src, tgt, _ = make_registration_pair(n=4001, seed=136, noise_sigma=0.02)
+    sp, tp = tmp_path / "s.las", tmp_path / "t.las"
+    write_las(sp, src)
+    write_las(tp, tgt)
+    mesh = make_mesh(n_devices=4)
+    offset = header_center(read_header(tp))
+    halo = 2.0
+    part, walls = load_las_partitioned_target(
+        tp, mesh, halo=halo, offset=offset, dtype=np.float32,
+        batch_size=1000,
+    )
+    src_g, w_g, n_rows = load_las_partitioned_source(
+        sp, mesh, walls=walls, offset=offset, dtype=np.float32,
+        batch_size=1000,
+    )
+    gp = estimate_partition_grid_params(tp, walls, halo,
+                                        grid_resolution=16)
+    assert gp["local_search"] == "pallas"
+    common = dict(
+        mesh=mesh, partition_state=part,
+        source_global=(src_g, w_g, n_rows), offset=offset,
+        dtype=jnp.float32, max_iterations=8, return_registered=False,
+    )
+    res_p = icp_register_partitioned(None, None, grid_params=gp, **common)
+    res_b = icp_register_partitioned(None, None, **common)
+    assert res_p.iterations == res_b.iterations
+    np.testing.assert_array_equal(res_p.history_valid, res_b.history_valid)
+    np.testing.assert_allclose(res_p.history_rmse, res_b.history_rmse,
+                               rtol=1e-5)
+    np.testing.assert_allclose(res_p.transform, res_b.transform, atol=1e-5)
+    # Explicit pallas WITHOUT params still refuses with the pointer.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grid_params"):
+        icp_register_partitioned(None, None, local_search="pallas",
+                                 **common)
+
+
+def test_partitioned_ingest_cold_start_coarse_carry(tmp_path):
+    """Cold start on the streamed-ingest path (round-3 verdict Missing
+    #2): a misaligned pair (reference test envelope: ±2.5 m, ≤10°) with
+    no pre-supplied pose converges through coarse_carry_from_files — the
+    stride-downsample coarse workflow (icp_registration.cpp:852-882) run
+    on the file SAMPLE, fed through resume_carry."""
+    from iterativeclosestpoint_tpu.io.las import read_header, write_las
+    from iterativeclosestpoint_tpu.ops.se3 import registration_error
+    from iterativeclosestpoint_tpu.parallel.ingest import (
+        coarse_carry_from_files,
+        header_center,
+        load_las_partitioned_source,
+        load_las_partitioned_target,
+    )
+
+    src, tgt, T_true = make_registration_pair(
+        n=5001, seed=61, noise_sigma=0.01
+    )
+    sp, tp = tmp_path / "s.las", tmp_path / "t.las"
+    write_las(sp, src)
+    write_las(tp, tgt)
+    mesh = make_mesh(n_devices=4)
+    offset = header_center(read_header(tp))
+
+    carry = coarse_carry_from_files(
+        sp, tp, sample_cap=1500, max_iterations=40, tolerance=1e-7,
+        dtype=jnp.float64,
+    )
+    part, walls = load_las_partitioned_target(
+        tp, mesh, halo=2.0, offset=offset, dtype=np.float64,
+        batch_size=1000,
+    )
+    src_g, w_g, n_rows = load_las_partitioned_source(
+        sp, mesh, walls=walls, offset=offset, dtype=np.float64,
+        batch_size=1000,
+    )
+    res = icp_register_partitioned(
+        None, None, mesh=mesh, partition_state=part,
+        source_global=(src_g, w_g, n_rows), offset=offset,
+        dtype=jnp.float64, max_iterations=40, tolerance=1e-7,
+        return_registered=False, resume_carry=carry,
+    )
+    err = float(registration_error(
+        jnp.asarray(res.transform), jnp.asarray(T_true), jnp.asarray(src)
+    ))
+    assert err < 5e-3, err
+
+
+def test_estimate_partition_grid_params_matches_full_array(tmp_path):
+    """The sampled estimator lands on the same (or one-notch-safer)
+    ladder rungs as the host-slab-array estimates it replaces."""
+    from iterativeclosestpoint_tpu.io.las import write_las
+    from iterativeclosestpoint_tpu.ops.cellblock import auto_resolution_data
+    from iterativeclosestpoint_tpu.ops.pallas_nn import (
+        _TRANGE_LADDER,
+        auto_trange,
+    )
+    from iterativeclosestpoint_tpu.parallel.ingest import (
+        estimate_partition_grid_params,
+        sample_x_walls,
+    )
+    from iterativeclosestpoint_tpu.utils.synth import make_cloud
+
+    tgt = make_cloud(60_000, seed=9)
+    tp = tmp_path / "t.las"
+    write_las(tp, tgt)
+    walls, _ = sample_x_walls(tp, 4)
+    halo = 1.0
+    gp = estimate_partition_grid_params(tp, walls, halo, sample_cap=8_000)
+
+    # Full-array reference (what prepare_partition computes from slabs).
+    x = tgt[:, 0]
+    slabs = [
+        tgt[(x >= walls[d] - halo) & (x < walls[d + 1] + halo)]
+        for d in range(4)
+    ]
+    r_full = max(auto_resolution_data(s) for s in slabs)
+    t_full = max(auto_trange(s, r_full) for s in slabs)
+    for step in _TRANGE_LADDER:
+        if t_full <= step:
+            t_full = step
+            break
+    # Same power-of-two resolution within one notch, trange within one
+    # ladder rung (the 4/3 margin + ladder round-up absorb sample noise).
+    assert gp["resolution"] in (r_full // 2, r_full, r_full * 2), (gp, r_full)
+    li = _TRANGE_LADDER.index(gp["trange"]) if gp["trange"] in _TRANGE_LADDER else -1
+    lf = _TRANGE_LADDER.index(t_full) if t_full in _TRANGE_LADDER else -1
+    assert li >= 0 and abs(li - lf) <= 1, (gp, t_full)

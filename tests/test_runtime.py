@@ -346,5 +346,126 @@ def test_cli_graph_auto_edges_and_robust(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "overlap-detected edges:" in out
-    assert "device residency:" in out
+    # reuse_device='auto' now gates on TPU-or-large-edges (ADVICE r3):
+    # small CPU scans take the plain per-edge path, so no device
+    # residency report here.
+    assert "device residency:" not in out
     assert "pose graph:" in out
+
+
+def test_cli_graph_parallel_partition(tmp_path, capsys):
+    """`icp graph --parallel partition`: every edge runs with the target
+    spatially partitioned across the 8-device mesh, with the per-target
+    partition prep cached across edges (round-3 verdict W6)."""
+    import json
+
+    import numpy as np
+
+    from iterativeclosestpoint_tpu.io.las import write_las
+    from iterativeclosestpoint_tpu.utils.synth import (
+        apply_transform_np,
+        make_cloud,
+        random_rigid_transform,
+    )
+
+    base = make_cloud(3000, seed=23)
+    poses = [np.eye(4), random_rigid_transform(seed=41),
+             random_rigid_transform(seed=42)]
+    paths = []
+    for s in range(3):
+        p = tmp_path / f"scan{s}.las"
+        write_las(p, apply_transform_np(np.linalg.inv(poses[s]), base))
+        paths.append(str(p))
+
+    pjson = tmp_path / "poses.json"
+    rc = cli_main(["graph", *paths, "--poses", str(pjson), "--loop",
+                   "--parallel", "partition", "--max-iterations", "120"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pose graph:" in out
+    d = json.loads(pjson.read_text())
+    assert len(d["poses"]) == 3
+    from iterativeclosestpoint_tpu.io.las import read_las
+
+    for s in range(3):
+        scan, _ = read_las(tmp_path / f"scan{s}.las")
+        rec = apply_transform_np(np.asarray(d["poses"][s]), scan)
+        np.testing.assert_allclose(rec, base, atol=5e-3)
+
+
+def test_register_scans_partition_caches_target_prep():
+    """Two edges sharing a target build ONE partition (the prepared_for
+    analog for the partitioned path)."""
+    import numpy as np
+
+    from iterativeclosestpoint_tpu.models.posegraph import register_scans
+    from iterativeclosestpoint_tpu.parallel.mesh import make_mesh
+    from iterativeclosestpoint_tpu.utils.synth import (
+        apply_transform_np,
+        make_cloud,
+        random_rigid_transform,
+    )
+
+    base = make_cloud(2500, seed=29)
+    poses = [np.eye(4), random_rigid_transform(seed=51),
+             random_rigid_transform(seed=52)]
+    scans = [apply_transform_np(np.linalg.inv(T), base) for T in poses]
+    stats = {}
+    out = register_scans(
+        scans, edges=[(0, 1), (0, 2)], mesh=make_mesh(), partition=True,
+        max_iterations=80, tolerance=1e-7, stats=stats,
+    )
+    assert stats.get("partitions_built") == 1, stats
+    assert out.converged
+    pts = make_cloud(300, seed=1)
+    for s in range(3):
+        err = np.abs(apply_transform_np(out.poses[s], pts)
+                     - apply_transform_np(poses[s], pts)).max()
+        assert err < 5e-3, (s, err)
+
+
+def test_cli_run_partition_ingest(tmp_path, capsys):
+    """`icp run --parallel partition --ingest`: streamed beyond-RAM
+    registration at the CLI surface (round-3 verdict W2) — cold start
+    from the sampled coarse pass, sampled Pallas grid params, transform
+    report + checkpoint + history out."""
+    import json
+
+    import numpy as np
+
+    from iterativeclosestpoint_tpu.io.las import write_las
+    from iterativeclosestpoint_tpu.utils.synth import make_registration_pair
+
+    src, tgt, T_true = make_registration_pair(n=5001, seed=62,
+                                              noise_sigma=0.01)
+    sp, tp = tmp_path / "s.las", tmp_path / "t.las"
+    write_las(sp, src)
+    write_las(tp, tgt)
+    report = tmp_path / "report.txt"
+    ckpt = tmp_path / "ckpt.json"
+    hist = tmp_path / "hist.jsonl"
+    rc = cli_main(["run", str(sp), str(tp), "--parallel", "partition",
+                   "--ingest", "--report", str(report),
+                   "--checkpoint", str(ckpt), "--history", str(hist),
+                   "--max-iterations", "40", "--tolerance", "1e-7"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ingest-partitioned:" in out
+    assert "coarse sample alignment done" in out
+    assert "sampled grid params:" in out
+    assert report.exists() and ckpt.exists()
+    rec = json.loads(hist.read_text().splitlines()[-1])
+    assert rec["success"] and rec["iterations"] >= 1
+    # The recovered transform registers the source (reference envelope).
+    import jax.numpy as jnp
+
+    from iterativeclosestpoint_tpu.ops.se3 import registration_error
+
+    T = np.asarray(json.loads(ckpt.read_text())["transform"])
+    err = float(registration_error(jnp.asarray(T, jnp.float64),
+                                   jnp.asarray(T_true, jnp.float64),
+                                   jnp.asarray(src, jnp.float64)))
+    assert err < 5e-2, err
+    # status renders the ingest history record.
+    rc = cli_main(["status", "--history", str(hist)])
+    assert rc == 0
