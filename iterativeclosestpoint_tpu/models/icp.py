@@ -573,6 +573,15 @@ def _default_nn(
     the x-group-aligned layout with replicated padding rows, whose
     ``weight`` vector is 0 on padding) — every statistic is weight-masked
     and permutation-invariant, so only the final cloud needs un-permuting.
+
+    Backend matrix (README "NN backend matrix" is the user-facing copy):
+    'auto'/'pallas'/'bruteforce' are production backends with the full
+    contract (plane mode, partitioned twins). 'hashgrid' and 'cellblock'
+    are TEST/REFERENCE backends — exact 1-NN, point mode only (plane
+    raises ValueError below, pinned by tests/test_icp_pairwise.py), never
+    selected by 'auto': hashgrid exercises the reference's
+    octree-leaf-capacity knob, cellblock is the CPU-testable XLA
+    formulation the Pallas kernels are validated against.
     """
     m = len(target_local)
     n = len(source_local)

@@ -1153,7 +1153,8 @@ def _sweep_kernel_call(base, q32, tgt_t, *, slabs: int, trange: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("resolution", "tile_q", "slabs", "trange", "first_tie"),
+    static_argnames=("resolution", "tile_q", "slabs", "trange", "first_tie",
+                     "fused"),
 )
 def nn_colsweep(
     query: jnp.ndarray,
@@ -1164,12 +1165,19 @@ def nn_colsweep(
     slabs: int = 6,
     trange: int = 2048,
     first_tie: bool = False,
+    fused: bool = False,
 ):
     """Slab-sweep grid 1-NN (Pallas).
 
     ``query``: (N, 3), Morton-sorted for coherence, any N (padded here by
     replicating the last row). Returns (matched (N,3), normal (N,3) —
     zeros unless the grid packs normals, dist (N,), certified (N,) bool).
+
+    ``fused=True`` routes through the fused-buffer kernel
+    (``_colsweep_fused_kernel``) — full-width chunks across slab
+    boundaries with per-slab (slack|width) masks. At sub-2048 tranges
+    the slot-wise chunk loop pays per-chunk fixed costs exactly like the
+    zcol kernel did (round-4 W1); the masks make it exact-equivalent.
     """
     R = resolution
     n_in = query.shape[0]
@@ -1309,9 +1317,17 @@ def nn_colsweep(
     base = jnp.minimum(start, m_rows - trange).astype(jnp.int32)
     base = (base // 128) * 128
 
+    slack = None
+    if fused:
+        # Packed (slack | width<<7); dead slabs have start = end = 0 →
+        # width 0, every lane masked (see _colsweep_fused_kernel).
+        slack = (
+            (start - base)
+            | (jnp.minimum(end - start, trange) << 7)
+        ).astype(jnp.int32)
     out = _sweep_kernel_call(
         base, q32, grid.tgt_t, slabs=slabs, trange=trange, tile_q=tile_q,
-        first_tie=first_tie,
+        first_tie=first_tie, fused=fused, slack=slack,
     )
 
     d2 = out[:, 6, :].reshape(n)
@@ -1630,9 +1646,17 @@ def nn_colsweep_exact(
             xy_slots=xy_slots, zrange=trange,
         )
     else:
+        # Fused-buffer form at sub-2048 tranges (round-4: the slot-wise
+        # chunk loop pays per-chunk fixed costs at narrow chunks — strip
+        # edges at R=128/trange=768 measured 12.3 → 10.1 ms fused;
+        # trange 1536 is neutral, larger tranges already run full-width
+        # chunks). The coarse repair grid (trange 16384) stays slot-wise
+        # (the fused buffer would blow the unrolled-chunk VMEM bound).
         m3, nrm, dist, certified = nn_colsweep(
             query, grid, resolution=resolution, tile_q=tile_q, slabs=slabs,
             trange=trange,
+            fused=(slabs > 1 and trange < 1536
+                   and slabs * trange <= 24576),
         )
     matched = jnp.concatenate([m3, nrm], axis=1)  # (N, 6): xyz + normal
 

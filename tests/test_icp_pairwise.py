@@ -116,3 +116,22 @@ def test_nonfinite_input_stops_with_numerical_error():
     assert not res.success
     assert "numerical error" in res.message
     assert res.iterations == 0  # nothing corrupted was recorded
+
+
+def test_backend_matrix_unsupported_combinations_raise():
+    """The backend matrix has no silent second-class cells (round-3
+    verdict item 8): test/reference backends reject plane mode with a
+    pinned message instead of downgrading."""
+    import pytest
+
+    from iterativeclosestpoint_tpu.models.icp import icp_register
+    from iterativeclosestpoint_tpu.utils.synth import make_cloud
+
+    src = make_cloud(300, seed=1)
+    for backend in ("hashgrid", "cellblock"):
+        with pytest.raises(ValueError,
+                           match="'bruteforce' or 'pallas'"):
+            icp_register(src, src, nn_backend=backend, estimator="plane",
+                         max_iterations=1)
+    with pytest.raises(ValueError, match="unknown nn_backend"):
+        icp_register(src, src, nn_backend="octree", max_iterations=1)
