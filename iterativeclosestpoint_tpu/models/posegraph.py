@@ -472,15 +472,22 @@ def register_scans(
         the 4×800k job spent ~4× its 2.2 s edge-loop device time on
         serially dispatched per-edge fixed costs).
         """
+        from iterativeclosestpoint_tpu.runtime.timing import stage
+
         src_j = edge_source(i, j)
         if not use_reuse:
             return src_j, None
-        src_dev = _jax.device_put((src_j - offset).astype(np.float32))
-        if stats is not None:
-            stats["cropped_source_uploads"] = (
-                stats.get("cropped_source_uploads", 0) + 1
-            )
-        target_dev(i)  # enqueue the full-target upload too (cached)
+        nbytes = src_j.shape[0] * 12 + (
+            0 if i in device_scans else local[i].nbytes
+        )
+        with stage("edge_stage", bytes=nbytes) as sync:
+            src_dev = _jax.device_put((src_j - offset).astype(np.float32))
+            if stats is not None:
+                stats["cropped_source_uploads"] = (
+                    stats.get("cropped_source_uploads", 0) + 1
+                )
+            tgt = target_dev(i)  # enqueue the full-target upload (cached)
+            sync((src_dev, tgt))
         return src_j, src_dev
 
     measured = []
@@ -525,6 +532,7 @@ def register_scans(
                     scans[i], mesh=mesh,
                     estimator=icp_kwargs.get("estimator", "point"),
                     dtype=icp_kwargs.get("dtype", jnp.float32),
+                    grid_resolution=icp_kwargs.get("grid_resolution"),
                     n_queries_hint=len(src_j),
                 )
                 if stats is not None:

@@ -806,11 +806,20 @@ def icp_register_partitioned(
     global device inputs from parallel.ingest
     (load_las_partitioned_target / _source) — the multi-process streamed
     ingest where no process ever holds the full cloud. ``source`` and
-    ``target`` are ignored (pass None); implies ``local_search='brute'``
-    under "auto" (the per-slab grid params need host slab samples) and
-    ``return_registered=False`` (the wall-sharded row order has no
-    global permutation back to file order; the transform/history are the
-    product).
+    ``target`` are ignored (pass None); ``return_registered=False`` is
+    required (the wall-sharded row order has no global permutation back
+    to file order; the transform/history are the product). With
+    ``grid_params`` (parallel.ingest.estimate_partition_grid_params —
+    per-slab parameters from a strided file sample) the run uses the
+    full certified Pallas kernel chain per slab; without it, "auto"
+    falls back to the per-slab brute search.
+
+    ``prepared_partition`` (non-ingest runs): the pose-invariant
+    per-target prep from :func:`prepare_partition`, reusable across
+    registrations sharing a target (multi-scan edges). When given, the
+    ``halo``/``local_search``/``partition_build``/``fine_kernel``/
+    ``grid_resolution`` arguments are ignored — they were resolved at
+    prep time.
 
     ``resume_carry`` mirrors models.icp.icp_register: the full
     convergence carry {transform, prev_error, no_improve[,

@@ -17,3 +17,25 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The CPU backend keeps every compiled program's LLVM-JIT code alive
+    for the process lifetime; at this suite's size (~200 tests, many
+    compiling 8-device shard_map while-loops) the accumulation
+    reproducibly segfaults XLA's compiler near the end of a full run
+    (observed at ~4.8 GB RSS / ~180 tests in round 4 — the same tests
+    pass in any sub-suite). Clearing between modules caps the live
+    executable count; within-module sharing (the expensive compiles)
+    is preserved.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
