@@ -64,19 +64,45 @@ def _run_partition_ingest(args, cfg) -> int:
         write_transform_report,
     )
 
+    # Options the streamed path cannot honor must fail loudly, not drop
+    # silently (the session path handles them; --ingest bypasses it).
+    unsupported = [
+        (args.voxel, "--voxel"),
+        (args.multiscale, "--multiscale"),
+        (args.live_every, "--live-every"),
+        (args.output, "-o/--output"),
+    ]
+    bad = [flag for val, flag in unsupported if val]
+    if bad:
+        _print(f"--ingest does not support {', '.join(bad)} (the "
+               "streamed wall-sharded run produces the transform/"
+               "history, not a registered cloud; downsample with "
+               "--stride)")
+        return 1
+
     t0 = time.perf_counter()
     mesh = make_mesh()
     hdr_t = read_header(args.target)
     hdr_s = read_header(args.source)
     offset = header_center(hdr_t)
-    walls, _ = sample_x_walls(args.target, mesh.devices.size,
-                              header=hdr_t)
     ext = float(np.max(np.asarray(hdr_t.bounds_max, np.float64)
                        - np.asarray(hdr_t.bounds_min, np.float64)))
     halo = 0.02 * ext
     _print(f"ingest-partitioned: {mesh.devices.size}-device mesh, "
            f"{hdr_s.point_count} source / {hdr_t.point_count} target pts, "
-           f"halo {halo:.3f} m")
+           f"halo {halo:.3f} m"
+           + (f", stride {args.stride}" if args.stride > 1 else ""))
+
+    # ONE strided decode pass per file feeds the walls, the grid-param
+    # estimator AND the coarse cold-start (review r4: three separate
+    # full-file sampling passes before ingest even started).
+    from iterativeclosestpoint_tpu.parallel.ingest import sample_points
+
+    s_tgt, _ = sample_points(args.target, header=hdr_t)
+    s_src, _ = sample_points(args.source, header=hdr_s)
+    walls = np.quantile(s_tgt[:, 0],
+                        np.linspace(0, 1, mesh.devices.size + 1))
+    walls[0], walls[-1] = -np.inf, np.inf
 
     carry = None
     if args.resume:
@@ -94,9 +120,14 @@ def _run_partition_ingest(args, cfg) -> int:
         }
         _print(f"resuming from iteration {ckpt['iteration']}")
     else:
+        # The coarse initializer always runs plane mode (see
+        # coarse_carry_from_files: a point-mode plateau residual turns
+        # the fine pass into a repair-storm benchmark at scale); the
+        # fine pass below runs cfg.estimator.
         carry = coarse_carry_from_files(
-            args.source, args.target,
-            estimator=cfg.estimator, mode=cfg.mode,
+            args.source, args.target, mode=cfg.mode,
+            tolerance=max(min(cfg.tolerance, 1e-5), 1e-9),
+            samples=(s_src, s_tgt),
         )
         _print(f"coarse sample alignment done "
                f"({time.perf_counter()-t0:.2f}s)")
@@ -104,16 +135,18 @@ def _run_partition_ingest(args, cfg) -> int:
     gp = estimate_partition_grid_params(
         args.target, walls, halo, header=hdr_t,
         grid_resolution=(cfg.grid_resolution or None),
-        n_queries_hint=hdr_s.point_count,
+        n_queries_hint=hdr_s.point_count, sample=s_tgt,
     )
     _print(f"sampled grid params: {gp}")
+    del s_src, s_tgt
     tstats, sstats = {}, {}
     part, walls = load_las_partitioned_target(
         args.target, mesh, halo=halo, offset=offset, walls=walls,
-        stats=tstats,
+        stride=args.stride, stats=tstats,
     )
     src_g = load_las_partitioned_source(
-        args.source, mesh, walls=walls, offset=offset, stats=sstats,
+        args.source, mesh, walls=walls, offset=offset,
+        stride=args.stride, stats=sstats,
     )
     _print(f"streamed ingest done ({time.perf_counter()-t0:.2f}s; "
            f"this process retained {tstats['retained_rows']} target / "
@@ -135,15 +168,17 @@ def _run_partition_ingest(args, cfg) -> int:
     _print(f"========== registration finished ==========")
     _print(f"iterations: {res.iterations}  final RMSE: {res.rmse:.6f}  "
            f"({res.message}, {time.perf_counter()-t0:.2f}s)")
-    report_txt = args.report or (
-        str(Path(args.output).with_suffix("")) + "_transform.txt"
-        if args.output else None
-    )
-    if args.output:
-        _print("NOTE: --ingest computes the transform/history only (the "
-               "wall-sharded order has no global inverse permutation); "
-               "apply the report's transform to the source file to "
-               "materialize the registered cloud")
+    if args.metrics:
+        from iterativeclosestpoint_tpu.runtime.metrics import MetricsWriter
+
+        mw = MetricsWriter(jsonl_path=args.metrics, console=False)
+        for rec in res.iteration_records():
+            mw.iteration(rec, cfg.max_iterations)
+        mw.event("run", success=res.success, rmse=float(res.rmse),
+                 iterations=res.iterations, message=res.message)
+        mw.close()
+        _print(f"metrics written to {args.metrics}")
+    report_txt = args.report
     if report_txt:
         write_transform_report(report_txt, res)
         from iterativeclosestpoint_tpu.runtime.metrics import (
@@ -423,6 +458,10 @@ def cmd_graph(args) -> int:
         kw["nn_backend"] = args.nn_backend
     mesh = None
     if args.parallel and args.parallel != "none":
+        if args.parallel == "partition" and args.multiscale:
+            _print("--parallel partition cannot combine with --multiscale "
+                   "(partitioned edges have no ladder)")
+            return 1
         from iterativeclosestpoint_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()

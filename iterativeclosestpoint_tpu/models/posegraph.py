@@ -360,6 +360,14 @@ def register_scans(
     ``return_registered=True`` in icp kwargs if edge_results[].
     source_registered is wanted.
     """
+    if partition and multiscale:
+        raise ValueError(
+            "partition=True cannot combine with multiscale=True (edges "
+            "run the partitioned driver, which has no ladder; pass a "
+            "coarse initial alignment through the edge kwargs instead)"
+        )
+    if partition and mesh is None:
+        raise ValueError("partition=True requires a mesh")
     scans = [np.asarray(s, np.float64) for s in scans]
     if isinstance(edges, str):
         if edges != "auto":
@@ -527,13 +535,22 @@ def register_scans(
 
             kw = {k: v for k, v in icp_kwargs.items()
                   if k != "nn_backend"}
+            # Partition-tuning kwargs resolve at PREP time (they would
+            # be silently ignored by icp_register_partitioned once a
+            # prepared_partition is passed).
+            pkw = {
+                k: kw.pop(k)
+                for k in ("halo", "local_search", "partition_build",
+                          "fine_kernel")
+                if k in kw
+            }
             if i not in prepared_partitions:
                 prepared_partitions[i] = prepare_partition(
                     scans[i], mesh=mesh,
                     estimator=icp_kwargs.get("estimator", "point"),
                     dtype=icp_kwargs.get("dtype", jnp.float32),
                     grid_resolution=icp_kwargs.get("grid_resolution"),
-                    n_queries_hint=len(src_j),
+                    n_queries_hint=len(src_j), **pkw,
                 )
                 if stats is not None:
                     stats["partitions_built"] = (

@@ -527,6 +527,59 @@ def grouped_tile_order_device(
     return rows, weight
 
 
+def resolve_slab_grid_params(
+    slab_samples,
+    *,
+    n_dev: int,
+    n_queries: int,
+    grid_resolution: "int | None" = None,
+    fine_kernel: str = "auto",
+    populations=None,
+):
+    """Shared static grid-parameter resolution for the partitioned paths.
+
+    ``parallel.partition.prepare_partition`` (host slab arrays) and
+    ``parallel.ingest.estimate_partition_grid_params`` (strided file
+    samples with ``populations`` carrying true per-slab counts) MUST
+    pick identical kernels and budgets from equivalent data — this is
+    the single copy of the ladder quantization and the zcol cost-model
+    gate (which folds in the per-device (x,y)-layout padding inflation).
+    Returns dict(resolution, trange, coarse_trange, fine_kernel).
+    """
+    pops = populations if populations is not None else [None] * len(
+        slab_samples
+    )
+    resolution = grid_resolution or max(
+        auto_resolution_data(s, population=p)
+        for s, p in zip(slab_samples, pops)
+    )
+    trange = max(
+        auto_trange(s, resolution, population=p)
+        for s, p in zip(slab_samples, pops)
+    )
+    for step in _TRANGE_LADDER:
+        if trange <= step:
+            trange = step
+            break
+    out_kernel = "sweep"
+    if fine_kernel == "zcol" or (
+        fine_kernel == "auto" and trange >= 2048 and resolution <= 128
+    ):
+        zr = max(
+            auto_zrange(s, resolution, population=p)
+            for s, p in zip(slab_samples, pops)
+        )
+        q_per_dev = max(n_queries // max(n_dev, 1), 1)
+        pad = 1.0 + (resolution**2 * (128 - 1) / 2) / q_per_dev
+        if fine_kernel == "zcol" or 12 * zr * pad < 0.7 * 4 * trange:
+            out_kernel = "zcol"
+            trange = zr  # the exact chain reuses trange as the z budget
+    return dict(
+        resolution=int(resolution), trange=int(trange),
+        coarse_trange=int(_COARSE_TRANGE_CAP), fine_kernel=out_kernel,
+    )
+
+
 def estimate_grid_params(target_local, resolution=None):
     """The host-side estimator passes of make_pallas_nn_device, split out
     so callers can run them EARLY (they cost ~150 ms at 1M and are pure

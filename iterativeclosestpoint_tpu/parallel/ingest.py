@@ -189,14 +189,8 @@ def estimate_partition_grid_params(
     coarse_trange, fine_kernel) for
     ``icp_register_partitioned(partition_state=..., grid_params=...)``.
     """
-    from iterativeclosestpoint_tpu.ops.cellblock import (
-        auto_resolution_data,
-    )
     from iterativeclosestpoint_tpu.ops.pallas_nn import (
-        _COARSE_TRANGE_CAP,
-        _TRANGE_LADDER,
-        auto_trange,
-        auto_zrange,
+        resolve_slab_grid_params,
     )
 
     if sample is None:
@@ -216,37 +210,13 @@ def estimate_partition_grid_params(
     if not slabs:
         slabs = [sample]
 
-    def pop(s):
-        return max(int(len(s) * scale), 1)
-
-    resolution = grid_resolution or max(
-        auto_resolution_data(s, population=pop(s)) for s in slabs
+    p = resolve_slab_grid_params(
+        slabs, n_dev=n_dev,
+        n_queries=(n_queries_hint or hdr.point_count),
+        grid_resolution=grid_resolution, fine_kernel=fine_kernel,
+        populations=[max(int(len(s) * scale), 1) for s in slabs],
     )
-    trange = max(
-        auto_trange(s, resolution, population=pop(s)) for s in slabs
-    )
-    for step in _TRANGE_LADDER:
-        if trange <= step:
-            trange = step
-            break
-    out_kernel = "sweep"
-    if fine_kernel == "zcol" or (
-        fine_kernel == "auto" and trange >= 2048 and resolution <= 128
-    ):
-        zr = max(
-            auto_zrange(s, resolution, population=pop(s)) for s in slabs
-        )
-        n_q = n_queries_hint or hdr.point_count
-        q_per_dev = max(n_q // max(n_dev, 1), 1)
-        pad = 1.0 + (resolution**2 * (128 - 1) / 2) / q_per_dev
-        if fine_kernel == "zcol" or 12 * zr * pad < 0.7 * 4 * trange:
-            out_kernel = "zcol"
-            trange = zr
-    return dict(
-        local_search="pallas", resolution=int(resolution),
-        trange=int(trange), coarse_trange=int(_COARSE_TRANGE_CAP),
-        fine_kernel=out_kernel,
-    )
+    return dict(local_search="pallas", **p)
 
 
 def coarse_carry_from_files(
@@ -254,11 +224,12 @@ def coarse_carry_from_files(
     tgt_path: str | Path,
     *,
     sample_cap: int = 150_000,
-    max_iterations: int = 30,
-    tolerance: float = 1e-5,
-    estimator: str = "point",
+    max_iterations: int = 40,
+    tolerance: float = 1e-7,
+    estimator: str = "plane",
     mode: str = "gui",
     dtype=None,
+    samples: "tuple | None" = None,
 ):
     """Cold-start coarse alignment for streamed-ingest partitioned runs
     (round-3 verdict Missing #2): register strided samples of both files
@@ -267,15 +238,32 @@ def coarse_carry_from_files(
     and return the ``resume_carry`` dict that pre-poses the full run.
     ``partition_state=`` rejects ``initial_transform``; ``resume_carry``
     is the sanctioned entry, and prev_error=1e10 / no_improve=0 restart
-    the convergence machine at the coarse pose."""
+    the convergence machine at the coarse pose.
+
+    The initializer defaults to ``estimator="plane"`` regardless of the
+    fine pass's estimator: point-to-point coarse passes plateau ~0.1 m
+    off on smooth terrain (the documented reference-faithful stall), and
+    at beyond-RAM scale that residual mass-decertifies the fine pass
+    into per-iteration collective-repair storms (measured 22 s/iter at
+    10M from a point-plateau start — the same reason the non-ingest 10M
+    recipe uses a plane ladder). The fine pass still runs the caller's
+    estimator; only the starting pose differs."""
     import jax.numpy as jnp
 
     from iterativeclosestpoint_tpu.models.icp import icp_register
 
     if dtype is None:
         dtype = jnp.float32
-    s_src, _ = sample_points(src_path, sample_cap)
-    s_tgt, _ = sample_points(tgt_path, sample_cap)
+    if samples is not None:
+        # Pre-read file samples (callers that already sampled for walls/
+        # grid params avoid re-decoding); stride down to the coarse cap —
+        # the coarse pass is a brute-force registration.
+        s_src, s_tgt = (
+            s[:: max(1, len(s) // sample_cap)] for s in samples
+        )
+    else:
+        s_src, _ = sample_points(src_path, sample_cap)
+        s_tgt, _ = sample_points(tgt_path, sample_cap)
     res = icp_register(
         s_src, s_tgt, max_iterations=max_iterations, tolerance=tolerance,
         estimator=estimator, mode=mode, dtype=dtype,
@@ -297,6 +285,7 @@ def load_las_partitioned_target(
     walls: "np.ndarray | None" = None,
     dtype=np.float32,
     batch_size: int = 1_000_000,
+    stride: int = 1,
     stats: Optional[dict] = None,
 ):
     """Stream a LAS target into a global PartitionState, keeping in RAM
@@ -343,7 +332,8 @@ def load_las_partitioned_target(
     mine_idx = {d: [] for d in my_devs}
     row0 = 0
     peak = 0
-    for batch in read_las_batches(path, batch_size=batch_size):
+    for batch in read_las_batches(path, batch_size=batch_size,
+                                  stride=stride):
         peak = max(peak, len(batch))
         x = batch[:, 0]
         # Single-pass bucketing (round-3 verdict W7: the per-device
@@ -423,6 +413,7 @@ def load_las_partitioned_source(
     offset: np.ndarray,
     dtype=np.float32,
     batch_size: int = 1_000_000,
+    stride: int = 1,
     stats: Optional[dict] = None,
 ):
     """Stream a LAS source sharded by the target's slab WALLS (each query
@@ -448,7 +439,8 @@ def load_las_partitioned_source(
     counts = np.zeros(n_dev, np.int64)
     mine = {d: [] for d in my_devs}
     total = 0
-    for batch in read_las_batches(path, batch_size=batch_size):
+    for batch in read_las_batches(path, batch_size=batch_size,
+                                  stride=stride):
         x = batch[:, 0]
         # Single-pass bucketing (verdict W7) — disjoint wall ranges here,
         # same sorted-slice form as the target loader.

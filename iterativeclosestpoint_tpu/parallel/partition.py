@@ -714,49 +714,27 @@ def prepare_partition(
             else "brute"
         )
     resolution = trange = coarse_trange = 0
-    kernel_choice = fine_kernel
-    fine_kernel = "sweep"
     if local_search == "pallas":
         from iterativeclosestpoint_tpu.ops.pallas_nn import (
-            _COARSE_TRANGE_CAP,
-            _TRANGE_LADDER,
-            auto_trange,
-            auto_zrange,
+            resolve_slab_grid_params,
         )
 
         # Shared static grid params: per-slab data-adaptive estimates
         # from the HOST slices (pulling the assembled slab buffers back
         # through the tunnel costs ~2 s at 10M), maxed across devices and
-        # ladder-quantized (compile reuse).
-        slabs_real = [tgt_local[s] for s in sels if len(s)]
-        resolution = grid_resolution or max(
-            auto_resolution_data(s) for s in slabs_real
+        # ladder-quantized by the single shared resolver (the streamed
+        # ingest sampler must pick identically).
+        p = resolve_slab_grid_params(
+            [tgt_local[s] for s in sels if len(s)],
+            n_dev=n_dev, n_queries=(n_queries_hint or len(target)),
+            grid_resolution=grid_resolution, fine_kernel=fine_kernel,
         )
-        trange = max(auto_trange(s, resolution) for s in slabs_real)
-        for step in _TRANGE_LADDER:
-            if trange <= step:
-                trange = step
-                break
-        # Fixed at the proven scoped-VMEM bound (the sweep kernel's
-        # chunk loop is unrolled, so larger budgets fail to COMPILE).
-        coarse_trange = _COARSE_TRANGE_CAP
-        # Volume-regime gate per slab — the same cost model as
-        # ops.pallas_nn.make_pallas_nn_device. The (x,y)-group layout
-        # pads each of the R² groups to a tile multiple; with per-DEVICE
-        # query counts the padding inflation is n_dev× the replicated
-        # case — fold that in.
-        n_q = n_queries_hint or len(target)
-        if kernel_choice == "zcol" or (
-            kernel_choice == "auto"
-            and trange >= 2048
-            and resolution <= 128
-        ):
-            zr = max(auto_zrange(s, resolution) for s in slabs_real)
-            q_per_dev = max(n_q // max(n_dev, 1), 1)
-            pad = 1.0 + (resolution**2 * (128 - 1) / 2) / q_per_dev
-            if kernel_choice == "zcol" or 12 * zr * pad < 0.7 * 4 * trange:
-                fine_kernel = "zcol"
-                trange = zr  # the exact chain reuses trange as the z budget
+        resolution = p["resolution"]
+        trange = p["trange"]
+        coarse_trange = p["coarse_trange"]
+        fine_kernel = p["fine_kernel"]
+    else:
+        fine_kernel = "sweep"
 
     return dict(
         mesh=mesh, offset=offset, halo=float(halo), part=part,
@@ -943,6 +921,12 @@ def icp_register_partitioned(
                 "prepared_partition was built with with_normals="
                 f"{pp['with_normals']} but estimator={estimator!r} — "
                 "rebuild the partition to match"
+            )
+        if pp["dtype"] != jnp.dtype(dtype):
+            raise ValueError(
+                f"prepared_partition was built with dtype={pp['dtype']} "
+                f"but this run asks for {jnp.dtype(dtype)} — rebuild the "
+                "partition to match"
             )
         offset = pp["offset"]
         part = pp["part"]

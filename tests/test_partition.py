@@ -641,3 +641,30 @@ def test_estimate_partition_grid_params_matches_full_array(tmp_path):
     li = _TRANGE_LADDER.index(gp["trange"]) if gp["trange"] in _TRANGE_LADDER else -1
     lf = _TRANGE_LADDER.index(t_full) if t_full in _TRANGE_LADDER else -1
     assert li >= 0 and abs(li - lf) <= 1, (gp, t_full)
+
+
+def test_partitioned_robust_matches_single_device():
+    """The robust M-estimator scale is the exact global masked median on
+    the partitioned path too (round-3 verdict W4: all three paths — the
+    'ps' reducer runs the same bit-pattern bisection): skewed
+    contamination, trajectory equal to single-device."""
+    rng = np.random.default_rng(4)
+    src, tgt, _ = make_registration_pair(n=3000, seed=133,
+                                         noise_sigma=0.01)
+    # Concentrate bias in the low-x quarter (one device's slab).
+    src = src[np.argsort(src[:, 0])]
+    src[: len(src) // 4, 0] += 0.2
+    mesh = make_mesh(n_devices=4)
+    res_1 = icp_register(
+        src, tgt, dtype=jnp.float64, nn_backend="bruteforce",
+        max_iterations=25, robust="tukey",
+    )
+    res_p = icp_register_partitioned(
+        src, tgt, mesh=mesh, dtype=jnp.float64, max_iterations=25,
+        robust="tukey",
+    )
+    assert res_p.iterations == res_1.iterations
+    np.testing.assert_array_equal(res_p.history_valid, res_1.history_valid)
+    np.testing.assert_allclose(res_p.history_rmse, res_1.history_rmse,
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(res_p.transform, res_1.transform, atol=1e-9)
