@@ -63,7 +63,7 @@ def _measure_kernel_sol(src, tgt, log):
     # Time the EXACT kernel configuration the pipeline runs: resolution
     # and trange resolved by the same data-adaptive rules as the driver.
     slabs = 4
-    R = pn.auto_resolution_data(tgtl)
+    R = pn.auto_resolution_data(tgtl, surface_boost_occupancy=32)
     trange = pn.auto_trange(tgtl, R)
     nn_fn, state, R = pn.make_pallas_nn_device(
         tgtl, resolution=R, trange=trange, slabs=slabs, target_dev=tgt_dev)
@@ -88,9 +88,11 @@ def _measure_kernel_sol(src, tgt, log):
         _sync(out)
         return (time.perf_counter() - t0) / reps, out
 
+    # Same fused-form gate as the production _pallas_fn dispatch.
+    fused = slabs > 1 and trange < 1536 and slabs * trange <= 24576
     nn_dt, out = _time_kernel(
         lambda: pn.nn_colsweep(q_dev, grid, resolution=R, slabs=slabs,
-                               trange=trange))
+                               trange=trange, fused=fused))
     log(nn_kernel_report(len(q_dev), 128, slabs, trange, nn_dt).line()
         + "  [measured standalone]")
 

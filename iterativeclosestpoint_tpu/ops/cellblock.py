@@ -68,7 +68,9 @@ def morton_encode(cells: np.ndarray, bits: int = 10) -> np.ndarray:
 def auto_resolution_data(
     target: np.ndarray, occupancy: int = 128, probe: int = 32,
     population: "int | None" = None,
-) -> int:
+    surface_boost_occupancy: "int | None" = None,
+    return_base: bool = False,
+) -> "int | tuple[int, int]":
     """Data-aware resolution: probe occupied-cell counts at two scales to
     estimate the cloud's box dimension d (≈2 for scan surfaces, ≈3 for
     volumes), then pick R with mean occupied-cell occupancy ≈ ``occupancy``
@@ -76,7 +78,29 @@ def auto_resolution_data(
 
     ``population``: when ``target`` is a strided sample of a larger
     cloud (streamed-ingest slab estimation), the true point count — the
-    occupancy target is sized for the full cloud."""
+    occupancy target is sized for the full cloud.
+
+    ``surface_boost_occupancy``: round-4 re-tune for the fused-buffer
+    sweep kernel (ops/pallas_nn._colsweep_fused_kernel). The fused form
+    removed the short-chunk fixed-cost penalty, so on surface-like
+    clouds (d ≤ 2.45) one pow-2 notch finer halves the candidate count
+    ~for free: measured 36.1 → 25.6 ms/iter (+41%) on the 1M-terrain
+    bench fine loop at R 64 → 128. The boost only applies when the
+    boosted grid keeps ≥ ``surface_boost_occupancy`` points per occupied
+    cell — below that the cells are so small relative to the point
+    spacing that the coarse→fine ladder handoff starts outside the cell
+    size and the certified path degrades into per-iteration repair
+    (measured collapses, tools/exp_res_retune.py: 1M terrain at R=256 /
+    8 pts/cell = 202 ms/iter; 800k strip at R=256 / 21 pts/cell =
+    1296 ms/iter — while 1M at R=128 / 32 pts/cell and 10M at R=256 /
+    150 pts/cell run certified). 32 is the measured-safe edge. Pass
+    ``None`` (default) for non-sweep consumers (cell-PCA normals
+    resolution, the cellblock backend) — their tuning predates and does
+    not involve the fused kernel.
+
+    ``return_base=True`` returns ``(resolution, base_resolution)`` where
+    base ignores the boost — callers that size normals estimation keep
+    the base (a boosted PCA cell would quarter the points per cell)."""
     target = np.asarray(target)
     tmin, tmax = bbox(target)
     extent = float((tmax - tmin).max()) or 1.0
@@ -108,6 +132,18 @@ def auto_resolution_data(
     # cells(R) ≈ c1 · (R/probe)^d ; want pop/cells(R) ≈ occupancy.
     r = probe * (pop / (occupancy * c1)) ** (1.0 / d)
     r = 1 << int(np.clip(np.round(np.log2(max(r, 1))), 3, 9))
+    base = int(r)
+    r = base
+    if (
+        surface_boost_occupancy is not None
+        and d <= 2.45
+        and base < 512
+        and pop / (c1 * ((2 * base) / probe) ** d)
+        >= surface_boost_occupancy
+    ):
+        r = base * 2
+    if return_base:
+        return int(r), base
     return int(r)
 
 

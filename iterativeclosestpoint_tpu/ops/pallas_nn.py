@@ -549,10 +549,20 @@ def resolve_slab_grid_params(
     pops = populations if populations is not None else [None] * len(
         slab_samples
     )
-    resolution = grid_resolution or max(
-        auto_resolution_data(s, population=p)
-        for s, p in zip(slab_samples, pops)
-    )
+    if grid_resolution:
+        resolution = normals_resolution = grid_resolution
+    else:
+        # Surface-boosted NN resolution per slab (fused-kernel re-tune,
+        # see auto_resolution_data); normals keep the unboosted base.
+        pairs = [
+            auto_resolution_data(
+                s, population=p, surface_boost_occupancy=32,
+                return_base=True,
+            )
+            for s, p in zip(slab_samples, pops)
+        ]
+        resolution = max(r for r, _ in pairs)
+        normals_resolution = max(b for _, b in pairs)
     trange = max(
         auto_trange(s, resolution, population=p)
         for s, p in zip(slab_samples, pops)
@@ -577,6 +587,7 @@ def resolve_slab_grid_params(
     return dict(
         resolution=int(resolution), trange=int(trange),
         coarse_trange=int(_COARSE_TRANGE_CAP), fine_kernel=out_kernel,
+        normals_resolution=int(normals_resolution),
     )
 
 
@@ -585,15 +596,24 @@ def estimate_grid_params(target_local, resolution=None):
     so callers can run them EARLY (they cost ~150 ms at 1M and are pure
     numpy — the multiscale pipeline runs them while the big uploads ride
     the tunnel, then hands the result back via ``est=``). Returns
-    (resolution, trange_est, coarse_trange)."""
+    (resolution, trange_est, coarse_trange, normals_resolution) —
+    ``resolution`` carries the fused-kernel surface boost
+    (auto_resolution_data(surface_boost_occupancy=32), round 4);
+    ``normals_resolution`` is the unboosted base for cell-PCA sizing."""
     target_local = np.asarray(target_local)
     from iterativeclosestpoint_tpu.ops.cellblock import auto_resolution_data
 
-    R = resolution or auto_resolution_data(target_local)
+    if resolution is not None:
+        R = base = resolution
+    else:
+        R, base = auto_resolution_data(
+            target_local, surface_boost_occupancy=32, return_base=True
+        )
     return (
         R,
         auto_trange(target_local, R),
         _COARSE_TRANGE_CAP,
+        base,
     )
 
 
@@ -647,13 +667,19 @@ def make_pallas_nn_device(
     kernel sits at the VPU roofline for its pass structure."""
     target_local = np.asarray(target_local)
     coarse_trange = None
+    normals_resolution = resolution  # user-forced R sizes normals too
     if est is not None and resolution is None and trange is None:
         # Precomputed estimator results (estimate_grid_params): same
         # numbers, same kernel-gate semantics, host passes skipped.
-        resolution, trange_est, coarse_trange = est
+        resolution, trange_est, coarse_trange, normals_resolution = est
     else:
         if resolution is None:
-            resolution = auto_resolution_data(target_local)
+            # Surface-boosted NN resolution (fused-kernel re-tune); the
+            # unboosted base sizes the cell-PCA normals below (a boosted
+            # PCA cell would quarter the points per cell).
+            resolution, normals_resolution = auto_resolution_data(
+                target_local, surface_boost_occupancy=32, return_base=True
+            )
         trange_est = (
             trange if trange is not None
             else auto_trange(target_local, resolution)
@@ -691,10 +717,11 @@ def make_pallas_nn_device(
             estimate_normals_cellpca_device,
         )
 
-        cell0 = max(float((tmax - tmin).max()) / resolution, 1e-9)
+        nr = normals_resolution or resolution
+        cell0 = max(float((tmax - tmin).max()) / nr, 1e-9)
         normals_dev = estimate_normals_cellpca_device(
             target_dev, jnp.asarray(tmin, jnp.float32),
-            jnp.asarray(cell0, jnp.float32), resolution=resolution,
+            jnp.asarray(cell0, jnp.float32), resolution=nr,
         )
 
     coarse_resolution = max(resolution // 4, 8)

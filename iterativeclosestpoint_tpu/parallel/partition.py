@@ -858,6 +858,7 @@ def icp_register_partitioned(
             part = fill_partition_normals(
                 part, mesh=mesh,
                 resolution=grid_resolution
+                or (grid_params or {}).get("normals_resolution")
                 or (grid_params or {}).get("resolution")
                 or 64,
             )

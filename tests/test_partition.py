@@ -629,7 +629,9 @@ def test_estimate_partition_grid_params_matches_full_array(tmp_path):
         tgt[(x >= walls[d] - halo) & (x < walls[d + 1] + halo)]
         for d in range(4)
     ]
-    r_full = max(auto_resolution_data(s) for s in slabs)
+    r_full = max(
+        auto_resolution_data(s, surface_boost_occupancy=32) for s in slabs
+    )
     t_full = max(auto_trange(s, r_full) for s in slabs)
     for step in _TRANGE_LADDER:
         if t_full <= step:
