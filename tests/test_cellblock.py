@@ -90,6 +90,43 @@ def test_auto_resolution_monotone():
     assert 16 <= auto_resolution(100) and auto_resolution(10**8) <= 512
 
 
+def test_surface_boost_gates():
+    """The round-4 fused-kernel resolution boost
+    (auto_resolution_data(surface_boost_occupancy=32)): one pow-2 notch
+    finer on surface clouds with enough post-boost occupancy, refused
+    for volumes (d-gate) and for sparse surfaces (occupancy gate) —
+    both refusals pinned because each collapsed the real fine loop when
+    measured (tools/exp_res_retune.py, exp_vol_boost.py)."""
+    from iterativeclosestpoint_tpu.ops.cellblock import auto_resolution_data
+    from iterativeclosestpoint_tpu.utils.synth import make_cloud
+
+    # Dense surface (the bench workload shape): boost applies, exactly
+    # one notch above base.
+    dense = make_cloud(1_000_000, seed=3, extent=100.0)
+    r, base = auto_resolution_data(
+        dense, surface_boost_occupancy=32, return_base=True
+    )
+    assert r == 2 * base
+    # Default call (normals / cellblock consumers) never boosts.
+    assert auto_resolution_data(dense) == base
+
+    # Sparse surface (125x fewer points, same extent): occupancy gate
+    # refuses — the boosted grid would drop below 32 pts/occupied cell.
+    sparse = make_cloud(8_000, seed=3, extent=100.0)
+    r_s, base_s = auto_resolution_data(
+        sparse, surface_boost_occupancy=32, return_base=True
+    )
+    assert r_s == base_s
+
+    # Volume (box dimension ~3): d-gate refuses regardless of density.
+    rng = np.random.default_rng(0)
+    vol = rng.uniform(-30, 30, (400_000, 3))
+    r_v, base_v = auto_resolution_data(
+        vol, surface_boost_occupancy=32, return_base=True
+    )
+    assert r_v == base_v
+
+
 def test_icp_with_cellblock_matches_bruteforce():
     src, tgt, _ = make_registration_pair(n=3000, seed=53, noise_sigma=0.01)
     res_b = icp_register(src, tgt, dtype=jnp.float64, nn_backend="bruteforce")

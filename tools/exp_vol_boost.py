@@ -1,11 +1,10 @@
-"""Round-4 follow-on: with the surface boost landed (R=128, trange 768,
-fused chunks), the sweep kernel saved only 21% for a 2x candidate cut —
-per-TILE fixed costs (slab DMA issue, query load, extraction dot)
-now dominate. tile_q=256 halves the tile count; it lost at R=64 because
-the doubled per-tile y-span pushed window rows past trange mid-loop
-(make_pallas_nn_device docstring) — at R=128 the windows are ~4x
-smaller, so there is headroom. Full fine-loop methodology
-(exp_res_retune)."""
+"""Does the round-4 resolution boost generalize to the VOLUME regime?
+Surface clouds gained 41% from one pow-2 notch (R 64->128) once the
+fused kernel removed the short-chunk penalty; the zcol kernel got the
+same fused treatment, and the 1M uniform-volume workload at R=64 keeps
+~41 pts per occupied cell (>= the measured-safe 32 edge). Full
+coarse+fine pipeline per rep (exp_res_retune methodology), volume
+workload, forced R in {32 (today's auto), 64}."""
 
 import os
 import time
@@ -26,14 +25,13 @@ from iterativeclosestpoint_tpu.utils.synth import (  # noqa: E402
 
 N = int(os.environ.get("EXP_N", 1_000_000))
 ITERS = 20
-# (tile_q, trange); trange=None -> auto
-CASES = ((128, None), (256, 1024), (256, 1536))
+RES = tuple(int(r) for r in os.environ.get("EXP_RES", "32,64").split(","))
 
 
 def main():
     print("devices:", jax.devices(), flush=True)
     src, tgt, _ = make_registration_pair(
-        n=N, seed=7, noise_sigma=0.02, kind="terrain", extent=100.0
+        n=N, seed=7, noise_sigma=0.02, kind="uniform", extent=100.0
     )
     offset = (tgt.min(axis=0) + tgt.max(axis=0)) / 2.0
     tgtl = (tgt - offset).astype(np.float32)
@@ -55,32 +53,24 @@ def main():
             max_iterations=ITERS, tolerance=0.0, return_registered=False,
         )
 
-    for tile_q, trange in CASES:
-        t0 = time.perf_counter()
-        if trange is None:
-            prepared = pn.make_pallas_nn_device(
-                tgtl, target_dev=tgt_dev, tile_q=tile_q,
-            )
-        else:
-            # tile_q=256 doubles the unrolled-chunk working set: the
-            # coarse repair grid's 16384-row budget blows scoped VMEM
-            # (measured 17.9M vs the 16M limit) — halve it via est.
-            prepared = pn.make_pallas_nn_device(
-                tgtl, target_dev=tgt_dev, tile_q=tile_q,
-                est=(128, trange, 8192, 64),
-            )
-        res = fine(prepared)  # warm / compile
-        tr = trange or "auto"
-        print(f"[tq={tile_q} tr={tr}] warm+compile "
-              f"{time.perf_counter()-t0:.1f}s: rmse={res.rmse:.4f}",
+    for R in RES:
+        zr = pn.auto_zrange(tgtl, R)
+        print(f"[R={R}] auto_zrange={zr} candidates/query={12 * zr:,}",
               flush=True)
+        t0 = time.perf_counter()
+        prepared = pn.make_pallas_nn_device(
+            tgtl, resolution=R, target_dev=tgt_dev, kernel="zcol",
+        )
+        res = fine(prepared)  # warm / compile
+        print(f"[R={R}] warm+compile {time.perf_counter()-t0:.1f}s: "
+              f"rmse={res.rmse:.4f} iters={res.iterations}", flush=True)
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             res = fine(prepared)
             times.append(time.perf_counter() - t0)
         el = min(times)
-        print(f"[tq={tile_q} tr={tr}] best of 3: {el:.3f}s -> "
+        print(f"[R={R}] best of 3: {el:.3f}s -> "
               f"{N*ITERS/el:,.0f} pts/s/chip ({el/ITERS*1e3:.1f} ms/iter) "
               f"rmse={res.rmse:.4f}", flush=True)
 
