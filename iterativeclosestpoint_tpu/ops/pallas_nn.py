@@ -210,6 +210,7 @@ def auto_trange(
     floor: int = 768,
     cap: int = 8192,
     population: "int | None" = None,
+    tile_q: int = 128,
 ) -> int:
     """Data-adaptive slab range (rows per slab DMA).
 
@@ -257,7 +258,20 @@ def auto_trange(
     cs = np.concatenate(
         [np.zeros((R, 1), np.int64), np.cumsum(counts, axis=1)], axis=1
     )
-    w = max(min(y_window, R), 1)
+    # Occupancy-derived window width (the auto_zrange treatment, ported
+    # round 4): a tile's y-span is ~tile_q / (points per occupied
+    # (x,y)-cell) cells, and the kernel's per-tile window covers that
+    # span ±1 dilation plus drift aging (+3 total — the calibration that
+    # reproduces BOTH proven configs: R=64/occ 128 → span 1 → w 4 →
+    # trange 1536; boosted R=128/occ 32 → span 4 → w 7 → 768). The old
+    # fixed w=4 underestimated boosted-grid windows ~1.6x and only the
+    # 768 floor masked it: trange=512 at its apparent 1.6x-over-max
+    # margin mass-decertifies mid-loop into a 63x repair storm
+    # (measured, tools/exp_trange512.py — true margin was ~1.05x).
+    occ_cells = max(int((counts > 0).sum()), 1)
+    occ = max(pop_scale * len(sampled) * stride / occ_cells, 1.0)
+    span = int(np.ceil(tile_q / occ))
+    w = max(min(max(y_window, span + 3), R), 1)
     win = (cs[:, w:] - cs[:, :-w]).reshape(-1)
     mass = win.astype(np.float64)
     total = mass.sum()
