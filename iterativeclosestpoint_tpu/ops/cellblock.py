@@ -65,6 +65,61 @@ def morton_encode(cells: np.ndarray, bits: int = 10) -> np.ndarray:
     return code
 
 
+def _occupancy_model(target: np.ndarray, probe: int = 32):
+    """(c1, d): occupied-cell count at resolution ``probe`` and the
+    cloud's estimated box dimension (≈2 scan surface, ≈3 volume).
+
+    The occupancy probes only estimate the cloud's box dimension d;
+    above 2M points a strided subsample still hits essentially every
+    occupied probe cell (≥7 samples/cell at probe 64 even on a 10M
+    uniform volume), so the O(N) cellize pass is bounded. Below the
+    cap the full array is used — zero behavior change there. Above it,
+    sampled occupancy is a LOWER bound on true occupancy (long sparse
+    tails — isolated outlier returns in real LAS — can be skipped), so
+    on heavy-tailed clouds the estimated d can dip and R round UP one
+    pow-2 notch versus the full scan; the pow-2 quantization plus the
+    [8, 512] clip bound the effect to that single notch."""
+    tmin, tmax = bbox(target)
+    extent = float((tmax - tmin).max()) or 1.0
+    probe_target = target[:: max(1, len(target) // 2_000_000)]
+
+    def occupied(r):
+        target = probe_target
+        c = np.clip((target - tmin) / (extent / r), 0, r - 1).astype(np.int32)
+        cid = (c[:, 0] * r + c[:, 1]) * r + c[:, 2]
+        # Boolean occupancy scatter: O(N + r³), ~10x faster than unique().
+        occ = np.zeros(r * r * r, np.bool_)
+        occ[cid] = True
+        return max(int(occ.sum()), 1)
+
+    c1 = occupied(probe)
+    c2 = occupied(probe * 2)
+    d = min(max(np.log2(c2 / c1), 1.0), 3.0)
+    return c1, d
+
+
+def surface_boost_ok(
+    target: np.ndarray, resolution: int, *,
+    population: "int | None" = None, occupancy: int = 32, probe: int = 32,
+) -> bool:
+    """True iff the surface-boost gate passes with ``resolution`` as the
+    BOOSTED grid resolution on this cloud (or strided sample with
+    ``population`` carrying the true count): box dimension d ≤ 2.45 AND
+    predicted occupancy at ``resolution`` ≥ ``occupancy`` (the measured
+    safe edge for the coarse→fine ladder handoff — see
+    ``auto_resolution_data``). The partitioned resolver calls this per
+    slab so a dense slab cannot force a boosted R onto sparser slabs
+    whose own occupancy sits below the safe edge."""
+    target = np.asarray(target)
+    if resolution > 512:
+        return False
+    c1, d = _occupancy_model(target, probe)
+    pop = population if population is not None else len(target)
+    return bool(
+        d <= 2.45 and pop / (c1 * (resolution / probe) ** d) >= occupancy
+    )
+
+
 def auto_resolution_data(
     target: np.ndarray, occupancy: int = 128, probe: int = 32,
     population: "int | None" = None,
@@ -102,32 +157,7 @@ def auto_resolution_data(
     base ignores the boost — callers that size normals estimation keep
     the base (a boosted PCA cell would quarter the points per cell)."""
     target = np.asarray(target)
-    tmin, tmax = bbox(target)
-    extent = float((tmax - tmin).max()) or 1.0
-    # The occupancy probes only estimate the cloud's box dimension d;
-    # above 2M points a strided subsample still hits essentially every
-    # occupied probe cell (≥7 samples/cell at probe 64 even on a 10M
-    # uniform volume), so the O(N) cellize pass is bounded. Below the
-    # cap the full array is used — zero behavior change there. Above it,
-    # sampled occupancy is a LOWER bound on true occupancy (long sparse
-    # tails — isolated outlier returns in real LAS — can be skipped), so
-    # on heavy-tailed clouds the estimated d can dip and R round UP one
-    # pow-2 notch versus the full scan; the pow-2 quantization plus the
-    # [8, 512] clip bound the effect to that single notch.
-    probe_target = target[:: max(1, len(target) // 2_000_000)]
-
-    def occupied(r):
-        target = probe_target
-        c = np.clip((target - tmin) / (extent / r), 0, r - 1).astype(np.int32)
-        cid = (c[:, 0] * r + c[:, 1]) * r + c[:, 2]
-        # Boolean occupancy scatter: O(N + r³), ~10x faster than unique().
-        occ = np.zeros(r * r * r, np.bool_)
-        occ[cid] = True
-        return max(int(occ.sum()), 1)
-
-    c1 = occupied(probe)
-    c2 = occupied(probe * 2)
-    d = min(max(np.log2(c2 / c1), 1.0), 3.0)
+    c1, d = _occupancy_model(target, probe)
     pop = population if population is not None else len(target)
     # cells(R) ≈ c1 · (R/probe)^d ; want pop/cells(R) ≈ occupancy.
     r = probe * (pop / (occupancy * c1)) ** (1.0 / d)

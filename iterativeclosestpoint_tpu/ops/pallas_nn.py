@@ -566,26 +566,33 @@ def resolve_slab_grid_params(
     if grid_resolution:
         resolution = normals_resolution = grid_resolution
     else:
-        # Surface-boosted NN resolution per slab (fused-kernel re-tune,
-        # see auto_resolution_data); normals keep the unboosted base.
-        pairs = [
-            auto_resolution_data(
-                s, population=p, surface_boost_occupancy=32,
-                return_base=True,
-            )
+        # Shared UNBOOSTED base first: per-slab bases combined with max()
+        # (every slab runs the same compiled kernel shape). The surface
+        # boost is decided below, after the zcol gate, and only if EVERY
+        # slab's own occupancy at the boosted R clears the safe edge — a
+        # dense slab must not force a boosted R onto sparser slabs whose
+        # gate refused it (their ladder handoff would land outside the
+        # fine cell size: measured collapses at 21 and 8 pts/cell,
+        # tools/exp_res_retune.py).
+        resolution = normals_resolution = max(
+            auto_resolution_data(s, population=p)
             for s, p in zip(slab_samples, pops)
-        ]
-        resolution = max(r for r, _ in pairs)
-        normals_resolution = max(b for _, b in pairs)
-    trange = max(
-        auto_trange(s, resolution, population=p)
-        for s, p in zip(slab_samples, pops)
-    )
-    for step in _TRANGE_LADDER:
-        if trange <= step:
-            trange = step
-            break
+        )
+
+    def _trange_at(r):
+        tr = max(
+            auto_trange(s, r, population=p)
+            for s, p in zip(slab_samples, pops)
+        )
+        for step in _TRANGE_LADDER:
+            if tr <= step:
+                return step
+        return tr
+
+    trange = _trange_at(resolution)
     out_kernel = "sweep"
+    # zcol gate at the UNBOOSTED base parameters (the boost is
+    # surface-regime-only; a boosted R must not disqualify the switch).
     if fine_kernel == "zcol" or (
         fine_kernel == "auto" and trange >= 2048 and resolution <= 128
     ):
@@ -598,6 +605,15 @@ def resolve_slab_grid_params(
         if fine_kernel == "zcol" or 12 * zr * pad < 0.7 * 4 * trange:
             out_kernel = "zcol"
             trange = zr  # the exact chain reuses trange as the z budget
+    if out_kernel == "sweep" and not grid_resolution:
+        from iterativeclosestpoint_tpu.ops.cellblock import surface_boost_ok
+
+        if all(
+            surface_boost_ok(s, 2 * resolution, population=p)
+            for s, p in zip(slab_samples, pops)
+        ):
+            resolution = 2 * resolution
+            trange = _trange_at(resolution)
     return dict(
         resolution=int(resolution), trange=int(trange),
         coarse_trange=int(_COARSE_TRANGE_CAP), fine_kernel=out_kernel,
@@ -613,22 +629,32 @@ def estimate_grid_params(target_local, resolution=None):
     (resolution, trange_est, coarse_trange, normals_resolution) —
     ``resolution`` carries the fused-kernel surface boost
     (auto_resolution_data(surface_boost_occupancy=32), round 4);
-    ``normals_resolution`` is the unboosted base for cell-PCA sizing."""
+    ``normals_resolution`` is the unboosted base for cell-PCA sizing.
+
+    The boost is surface-regime-only: when the UNBOOSTED base parameters
+    land in the zcol kernel's candidate regime (base trange ≥ 2048 at
+    base R ≤ 128 — quasi-volumetric clouds up to the boost's d ≤ 2.45
+    box-dimension gate), the base numbers are returned untouched so the
+    downstream auto-kernel gate (make_pallas_nn_device) evaluates the
+    zcol cost model against the same parameters it did pre-boost,
+    instead of a boosted R=256 silently disqualifying the zcol switch."""
     target_local = np.asarray(target_local)
     from iterativeclosestpoint_tpu.ops.cellblock import auto_resolution_data
 
     if resolution is not None:
         R = base = resolution
+        tr = auto_trange(target_local, R)
     else:
         R, base = auto_resolution_data(
             target_local, surface_boost_occupancy=32, return_base=True
         )
-    return (
-        R,
-        auto_trange(target_local, R),
-        _COARSE_TRANGE_CAP,
-        base,
-    )
+        tr_base = auto_trange(target_local, base)
+        if tr_base >= 2048 and base <= 128:
+            R = base          # potential zcol regime: boost refused
+            tr = tr_base
+        else:
+            tr = auto_trange(target_local, R) if R != base else tr_base
+    return (R, tr, _COARSE_TRANGE_CAP, base)
 
 
 def make_pallas_nn_device(
@@ -686,6 +712,14 @@ def make_pallas_nn_device(
         # Precomputed estimator results (estimate_grid_params): same
         # numbers, same kernel-gate semantics, host passes skipped.
         resolution, trange_est, coarse_trange, normals_resolution = est
+    elif resolution is None and trange is None:
+        # Full auto: one copy of the boost/zcol-regime ordering
+        # (estimate_grid_params — the boost is refused when the UNBOOSTED
+        # base parameters land in the zcol candidate regime, so the
+        # auto-kernel gate below sees the same numbers it did pre-boost).
+        resolution, trange_est, coarse_trange, normals_resolution = (
+            estimate_grid_params(target_local)
+        )
     else:
         if resolution is None:
             # Surface-boosted NN resolution (fused-kernel re-tune); the
@@ -844,6 +878,33 @@ def _brute_fn(trange: int, with_normals: bool):
         return matched, dist
 
     return fn
+
+
+def use_fused_sweep(slabs: int, trange: int) -> bool:
+    """Production gate for the fused-buffer sweep form (round 4): at
+    sub-2048 tranges the slot-wise chunk loop pays per-chunk fixed costs
+    (strip edges at R=128/trange=768 measured 12.3 → 10.1 ms fused);
+    trange ≥ 1536 is neutral (chunks already run near full width), and
+    slabs·trange beyond ~24576 lanes fails to COMPILE (the fused form's
+    unrolled-chunk scoped-VMEM bound). Single copy — the production
+    dispatch (nn_colsweep_exact) and bench.py's standalone kernel timing
+    MUST stay on the same form."""
+    return slabs > 1 and trange < 1536 and slabs * trange <= 24576
+
+
+def fused_sweep_chunk(slabs: int, trange: int) -> int:
+    """Chunk width for the fused-buffer form: ONE full-width chunk when
+    the whole fused buffer fits the unrolled-chunk working set
+    (slabs·trange ≤ 4096 lanes — the (tile_q, chunk) d²/one-hot arrays
+    stay ≤ 2 MB of scoped VMEM). Round-5 measurement on the 1M boosted
+    shape (R=128, trange=768, slabs=4 → 3072 lanes): the default 2048
+    chunking splits it 2048+1024 and pays the per-chunk fixed cost
+    (min/update bookkeeping, extraction-dot issue) twice, the second
+    time at half width — 16.6 ms vs 15.2 ms single-chunk (+9%),
+    bit-exact output. Single copy for the production dispatch and
+    bench.py's standalone timing."""
+    total = slabs * trange
+    return total if total <= 4096 else 2048
 
 
 def _colsweep_kernel(slabs: int, trange: int, tile_q: int, chunk: int = 2048,
@@ -1131,7 +1192,7 @@ def _colsweep_fused_kernel(slabs: int, trange: int, tile_q: int,
 
 def _sweep_kernel_call(base, q32, tgt_t, *, slabs: int, trange: int,
                        tile_q: int, first_tie: bool, fused: bool = False,
-                       slack=None):
+                       slack=None, chunk: int = 2048):
     """Shared kernel invocation for the sweep variants.
 
     ``base``: (t, slabs) int32 HBM row bases (128-aligned, clamped);
@@ -1153,14 +1214,14 @@ def _sweep_kernel_call(base, q32, tgt_t, *, slabs: int, trange: int,
 
     if fused:
         kernel = _colsweep_fused_kernel(
-            slabs, trange, tile_q, first_tie=first_tie
+            slabs, trange, tile_q, chunk=chunk, first_tie=first_tie
         )
         scratch = [
             pltpu.VMEM((8, slabs * trange), jnp.float32),
             pltpu.SemaphoreType.DMA((slabs,)),
         ]
     else:
-        kernel = _colsweep_kernel(slabs, trange, tile_q,
+        kernel = _colsweep_kernel(slabs, trange, tile_q, chunk=chunk,
                                   first_tie=first_tie)
         scratch = [
             pltpu.VMEM((2, 8, trange), jnp.float32),
@@ -1248,7 +1309,7 @@ def _sweep_kernel_call(base, q32, tgt_t, *, slabs: int, trange: int,
 @functools.partial(
     jax.jit,
     static_argnames=("resolution", "tile_q", "slabs", "trange", "first_tie",
-                     "fused"),
+                     "fused", "chunk", "return_tie"),
 )
 def nn_colsweep(
     query: jnp.ndarray,
@@ -1260,6 +1321,8 @@ def nn_colsweep(
     trange: int = 2048,
     first_tie: bool = False,
     fused: bool = False,
+    chunk: int = 2048,
+    return_tie: bool = False,
 ):
     """Slab-sweep grid 1-NN (Pallas).
 
@@ -1421,7 +1484,7 @@ def nn_colsweep(
         ).astype(jnp.int32)
     out = _sweep_kernel_call(
         base, q32, grid.tgt_t, slabs=slabs, trange=trange, tile_q=tile_q,
-        first_tie=first_tie, fused=fused, slack=slack,
+        first_tie=first_tie, fused=fused, slack=slack, chunk=chunk,
     )
 
     d2 = out[:, 6, :].reshape(n)
@@ -1433,6 +1496,17 @@ def nn_colsweep(
     matched = out[:, 0:3, :].transpose(0, 2, 1).reshape(n, 3).astype(query.dtype)
     normal = out[:, 3:6, :].transpose(0, 2, 1).reshape(n, 3).astype(query.dtype)
     certified = query_complete & (dist <= radius) & unique
+    if return_tie:
+        # Tie-decertified rows (certificate held, winner not unique):
+        # the coarse-grid repair CANNOT fix these — the same d² tie
+        # decertifies at every grid level — so the repair chain routes
+        # them straight to the budgeted brute stage (which preserves
+        # the reference's first-tie order). Round 5: before this split
+        # the every-iteration tie drizzle fired a 64-tile coarse
+        # re-sweep (~1.6 ms/iter at 1M) that never repaired anything.
+        tie = query_complete & (dist <= radius) & ~unique
+        return (matched[:n_in], normal[:n_in], dist[:n_in],
+                certified[:n_in], tie[:n_in])
     return matched[:n_in], normal[:n_in], dist[:n_in], certified[:n_in]
 
 
@@ -1498,7 +1572,7 @@ def _build_zgrid_dev(target, origin, cell_size, *, resolution: int,
 @functools.partial(
     jax.jit,
     static_argnames=("resolution", "tile_q", "xy_slots", "zrange",
-                     "first_tie"),
+                     "first_tie", "return_tie"),
 )
 def nn_colsweep_z(
     query: jnp.ndarray,
@@ -1509,6 +1583,7 @@ def nn_colsweep_z(
     xy_slots: int = 12,
     zrange: int = 512,
     first_tie: bool = False,
+    return_tie: bool = False,
 ):
     """Z-window COLUMN sweep (Pallas) — the volume-regime 1-NN kernel.
 
@@ -1648,10 +1723,14 @@ def nn_colsweep_z(
         query.dtype)
     normal = out[:, 3:6, :].transpose(0, 2, 1).reshape(n, 3).astype(
         query.dtype)
-    certified = (
-        jnp.broadcast_to(tile_ok[:, None], (t, tile_q)).reshape(n)
-        & (dist <= radius) & unique
-    )
+    complete = jnp.broadcast_to(tile_ok[:, None], (t, tile_q)).reshape(n)
+    certified = complete & (dist <= radius) & unique
+    if return_tie:
+        # See nn_colsweep: tie-decertified rows route straight to brute
+        # (no grid level can certify an exact d² tie).
+        tie = complete & (dist <= radius) & ~unique
+        return (matched[:n_in], normal[:n_in], dist[:n_in],
+                certified[:n_in], tie[:n_in])
     return matched[:n_in], normal[:n_in], dist[:n_in], certified[:n_in]
 
 
@@ -1735,9 +1814,9 @@ def nn_colsweep_exact(
     if fine == "zcol":
         # Volume regime: z-window column kernel (tile layout must be
         # (x,y)-group-aligned — grouped_tile_order_device(group="xy")).
-        m3, nrm, dist, certified = nn_colsweep_z(
+        m3, nrm, dist, certified, tie = nn_colsweep_z(
             query, grid, resolution=resolution, tile_q=tile_q,
-            xy_slots=xy_slots, zrange=trange,
+            xy_slots=xy_slots, zrange=trange, return_tie=True,
         )
     else:
         # Fused-buffer form at sub-2048 tranges (round-4: the slot-wise
@@ -1746,11 +1825,10 @@ def nn_colsweep_exact(
         # trange 1536 is neutral, larger tranges already run full-width
         # chunks). The coarse repair grid (trange 16384) stays slot-wise
         # (the fused buffer would blow the unrolled-chunk VMEM bound).
-        m3, nrm, dist, certified = nn_colsweep(
+        m3, nrm, dist, certified, tie = nn_colsweep(
             query, grid, resolution=resolution, tile_q=tile_q, slabs=slabs,
-            trange=trange,
-            fused=(slabs > 1 and trange < 1536
-                   and slabs * trange <= 24576),
+            trange=trange, fused=use_fused_sweep(slabs, trange),
+            chunk=fused_sweep_chunk(slabs, trange), return_tie=True,
         )
     matched = jnp.concatenate([m3, nrm], axis=1)  # (N, 6): xyz + normal
 
@@ -1758,6 +1836,13 @@ def nn_colsweep_exact(
     m_t = matched.reshape(t, tile_q, 6)
     d_t = dist.reshape(t, tile_q)
     c_t = certified.reshape(t, tile_q)
+    # Tie-decertified rows skip the coarse stages entirely (no grid
+    # level can certify an exact d² tie; only the brute stage resolves
+    # them, in first-tie order): the coarse repair's bad-tile census
+    # counts DISTANCE-decertified rows only. A tile holding both kinds
+    # is still coarse-repaired (the drift rows make it bad) and its tie
+    # rows fall through to brute exactly as before.
+    tie_t = tie.reshape(t, tile_q)
 
     def tgt6(bi):
         bm = target[bi]
@@ -1767,24 +1852,30 @@ def nn_colsweep_exact(
 
     if coarse_grid is not None and coarse_resolution:
         ct_full = max(min(coarse_budget // tile_q, t), 1)
-        # Two budget stages: in the drift steady state (coarse-to-fine
+        # Budget stages: in the drift steady state (coarse-to-fine
         # init, source jiggling by millimeters per iteration) only ~0.05%
         # of queries decertify — a handful of tiles — yet a single
         # full-budget stage re-sweeps its whole ``ct_full``-tile batch
         # against the coarse grid every iteration (profiled 46 ms/iter at
         # 1M pts). A small first stage covers the drizzle at ~1/8 the
-        # cost; the full stage only fires when the small budget cannot
-        # hold every bad tile (cold starts, large misalignments).
+        # cost; a middle stage (round 5) covers the moderate drift tail
+        # (the 1M bench traced 4/20 iterations overflowing the 64-tile
+        # stage into the 512-tile full budget at 12.8 ms per firing —
+        # a 192-tile stage covers those at ~1/3 the cost); the full
+        # stage only fires when both overflow (cold starts, large
+        # misalignments).
         ct_small = max(min(64, ct_full // 2), 1)
+        ct_mid = max(min(3 * ct_small, ct_full // 2), 1)
 
         def mk_repair(ct):
             """Coarse-repair the first ``ct`` tiles of the bad-first tile
             permutation (recomputed against the carry's current mask —
-            still-bad tiles always compact to the front)."""
+            still-bad tiles always compact to the front). Tie-only tiles
+            are never selected (coarse-unrepairable by construction)."""
 
             def coarse_repair(carry):
                 m_t, d_t, c_t = carry
-                bad = jnp.any(~c_t, axis=1)
+                bad = jnp.any(~c_t & ~tie_t, axis=1)
                 n_bad = jnp.sum(bad, dtype=jnp.int32)
                 tsel = jnp.argsort((~bad).astype(jnp.int32), stable=True)[:ct]
                 qc = q_t[tsel].reshape(ct * tile_q, 3)
@@ -1809,33 +1900,47 @@ def nn_colsweep_exact(
 
             return coarse_repair
 
-        # Stage 1 (the drizzle) then up to ``coarse_passes`` full-budget
-        # passes before ANY brute fallthrough: overlap-boundary workloads
+        # Stage 1 (the drizzle), a middle stage, then up to
+        # ``coarse_passes`` full-budget passes before ANY brute
+        # fallthrough: overlap-boundary workloads
         # (multi-scan edges — a strip of source points whose true NN sits
         # meters away at the target's boundary face) can decertify 5-10x
         # the coarse budget at once, and each brute pass costs ~60x a
         # coarse-kernel pass (measured 0.9 s/iter of brute at an
         # 800k-point partial-overlap edge vs ~15 ms per coarse pass).
-        # The FIRST full pass fires on any leftover (the pre-round-3
-        # single-stage behavior — the drizzle stage may repair nothing
-        # while hundreds of later bad tiles are still certifiable, so
-        # gating pass 1 on drizzle progress could strand certifiable
-        # tiles on the ~60x brute path, or leave them UNREPAIRED past
-        # the brute budget with global_fallback off). Passes 2..N are
-        # PROGRESS-gated: they fire only while the previous pass kept
-        # certifying tiles (count strictly decreasing), so a leftover of
-        # coarse-UNCERTIFIABLE tiles (ties, true-far outliers) stops the
+        # Every census counts COARSE-REPAIRABLE tiles (``~c_t & ~tie_t``
+        # — tie-only tiles go straight to brute), so the every-iteration
+        # tie drizzle no longer fires any coarse stage. The middle stage
+        # fires on small-stage overflow; the FIRST full pass fires on
+        # any leftover after it (the pre-round-3 single-stage behavior —
+        # the smaller stages may repair nothing while hundreds of later
+        # bad tiles are still certifiable, so gating pass 1 on their
+        # progress could strand certifiable tiles on the ~60x brute
+        # path, or leave them UNREPAIRED past the brute budget with
+        # global_fallback off). Passes 2..N are PROGRESS-gated: they
+        # fire only while the previous pass kept certifying tiles
+        # (count strictly decreasing), so a leftover of
+        # coarse-UNCERTIFIABLE tiles (true-far outliers) stops the
         # chain instead of re-sweeping the same tiles futilely — the
         # certified steady state pays only O(t) mask reductions behind
         # false conds, exactly as before.
-        n_bad0 = jnp.sum(jnp.any(~c_t, axis=1), dtype=jnp.int32)
+        def n_coarse_bad():
+            return jnp.sum(jnp.any(~c_t & ~tie_t, axis=1),
+                           dtype=jnp.int32)
+
+        n_bad0 = n_coarse_bad()
         m_t, d_t, c_t = jax.lax.cond(
             n_bad0 > 0, mk_repair(ct_small), lambda c: c, (m_t, d_t, c_t)
         )
+        if ct_mid > ct_small and ct_full > ct_mid:
+            m_t, d_t, c_t = jax.lax.cond(
+                n_bad0 > ct_small, mk_repair(ct_mid), lambda c: c,
+                (m_t, d_t, c_t),
+            )
         if ct_full > ct_small:
             n_prev = None
             for _ in range(coarse_passes):
-                n_now = jnp.sum(jnp.any(~c_t, axis=1), dtype=jnp.int32)
+                n_now = n_coarse_bad()
                 fire = (
                     n_now > 0
                     if n_prev is None

@@ -59,6 +59,7 @@ def init_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    heartbeat_timeout_seconds: Optional[int] = None,
 ) -> Mesh:
     """Initialize JAX distributed for an N-host pod slice and return the
     global (hosts × chips) mesh: axis ``host`` over DCN, axis ``chip``
@@ -68,12 +69,28 @@ def init_multihost(
     Call on every host; arguments can come from the cluster environment
     (jax.distributed auto-detects on Cloud TPU when they are omitted but
     ``num_processes`` > 1 is implied by the environment).
-    """
+
+    ``heartbeat_timeout_seconds`` is the failed-host detection bound
+    (SURVEY.md §5): when a peer process dies mid-run (SIGKILL,
+    preemption, hardware loss), the JAX coordination service notices the
+    missed heartbeats within this window and TERMINATES the surviving
+    processes with a fatal "task died" diagnostic instead of letting
+    them block forever in a collective. Recovery = restart on a reformed
+    mesh and ``--resume`` from the rolling segment checkpoint
+    (runtime/checkpoint.py — the carry makes the continuation
+    bit-identical on a mesh with the same global shard count; tested
+    mechanically by tests/test_multihost.py::
+    test_failure_injection_sigkill_detect_and_resume). None keeps the
+    JAX default (100 s)."""
     if num_processes is not None and num_processes > 1:
+        kw = {}
+        if heartbeat_timeout_seconds is not None:
+            kw["heartbeat_timeout_seconds"] = heartbeat_timeout_seconds
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **kw,
         )
     if jax.process_count() > 1:
         n_proc = jax.process_count()

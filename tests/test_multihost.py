@@ -59,3 +59,112 @@ def test_two_process_distributed_cpu(tmp_path):
         assert f"INGEST_OK {pid}" in out, out
         assert f"PARTITION_INGEST_OK {pid}" in out, out
         assert f"PARTITION_PALLAS_OK {pid}" in out, out
+
+
+def test_failure_injection_sigkill_detect_and_resume(tmp_path):
+    """Mechanical elastic recovery (SURVEY.md §5 failure detection; the
+    last round-4 coverage partial): SIGKILL one of two jax.distributed
+    processes MID-REGISTRATION (between --live-every segments), assert
+    the survivor surfaces a detectable failure via the coordination
+    service's heartbeat detector (bounded-time process abort with a
+    "task died" diagnostic — not a hang), then resume from the rolling
+    segment checkpoint on a reformed mesh:
+
+    * replaced-host reform (two fresh processes, identical topology —
+      the real pod-recovery shape): trajectory tail and final transform
+      BIT-IDENTICAL to the uninterrupted run;
+    * single-process reform (same global shard count, different process
+      layout): agrees to 1e-12 (psum partial order changes with the
+      reduction tree — measured ~5e-15)."""
+    import json
+
+    import numpy as np
+
+    from tests._failure_worker import (
+        KILL_AT_ITERATION,
+        MAX_ITERATIONS,
+    )
+
+    worker = Path(__file__).parent / "_failure_worker.py"
+    ckpt = tmp_path / "rolling_ckpt.json"
+    env = os.environ.copy()
+    env.pop("XLA_FLAGS", None)
+
+    def _launch(mode, nproc, port):
+        return [
+            subprocess.Popen(
+                [sys.executable, str(worker), mode, str(ckpt), str(pid),
+                 str(nproc), str(port)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                env=env,
+            )
+            for pid in range(nproc)
+        ]
+
+    def _payload(out, tag):
+        line = [l for l in out.splitlines() if l.startswith(tag + " ")][0]
+        d = json.loads(line.split(" ", 1)[1])
+        return (
+            np.array([float.fromhex(h) for h in d["rmse"]]),
+            np.array([float.fromhex(h) for h in d["transform"]]),
+        )
+
+    # --- failure run: uninterrupted reference, then SIGKILL at iter 6.
+    procs = _launch("run", 2, _free_port())
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    # Process 1 died by SIGKILL, uncooperatively.
+    assert procs[1].returncode == -9, (procs[1].returncode, outs[1])
+    assert "SELF_SIGKILL" in outs[1], outs[1]
+    # Process 0 did NOT hang (communicate returned inside the timeout)
+    # and did NOT finish the registration: the heartbeat detector
+    # aborted it with an explicit peer-death diagnostic.
+    assert procs[0].returncode != 0, outs[0]
+    assert "UNEXPECTED_COMPLETION" not in outs[0], outs[0]
+    assert (
+        "stopped sending heartbeats" in outs[0]
+        or "detected fatal errors" in outs[0]
+    ), outs[0]
+    # The rolling checkpoint survived with the full convergence carry.
+    ck = json.loads(ckpt.read_text())
+    assert ck["iteration"] == KILL_AT_ITERATION, ck
+    assert "transform_local" in ck and "prev_error" in ck, sorted(ck)
+    u_rmse, u_T = _payload(outs[0], "UNINTERRUPTED")
+    assert len(u_rmse) == MAX_ITERATIONS
+
+    # --- replaced-host reform: identical topology, bit-identical tail.
+    rprocs = _launch("resume2", 2, _free_port())
+    routs = []
+    try:
+        for p in rprocs:
+            out, _ = p.communicate(timeout=300)
+            routs.append(out.decode(errors="replace"))
+    finally:
+        for p in rprocs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(rprocs, routs)):
+        assert p.returncode == 0, f"resume2 proc {pid} failed:\n{out}"
+    r_rmse, r_T = _payload(routs[0], "RESUMED")
+    np.testing.assert_array_equal(r_rmse, u_rmse[KILL_AT_ITERATION:])
+    np.testing.assert_array_equal(r_T, u_T)
+
+    # --- single-process reform: same shard count, 1e-12 agreement.
+    sp = subprocess.run(
+        [sys.executable, str(worker), "resume", str(ckpt)],
+        capture_output=True, env=env, timeout=300,
+    )
+    assert sp.returncode == 0, sp.stdout.decode(errors="replace")
+    s_rmse, s_T = _payload(sp.stdout.decode(errors="replace"), "RESUMED")
+    np.testing.assert_allclose(s_rmse, u_rmse[KILL_AT_ITERATION:],
+                               rtol=1e-12)
+    np.testing.assert_allclose(s_T, u_T, rtol=1e-12, atol=1e-12)

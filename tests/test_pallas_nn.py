@@ -396,6 +396,69 @@ def test_tile_split_path_matches_single_call(monkeypatch):
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
 
 
+def test_estimate_grid_params_zcol_regime_refuses_boost():
+    """The surface boost is surface-regime-only: when the UNBOOSTED base
+    parameters land in the zcol kernel's candidate regime (base trange
+    ≥ 2048 at base R ≤ 128 — quasi-volumetric clouds under the boost's
+    d ≤ 2.45 gate), estimate_grid_params must return the base numbers so
+    the downstream auto-kernel gate evaluates the zcol cost model
+    against the same parameters it did pre-boost (round-4 advisor: a
+    boosted R=256 would silently disqualify the zcol switch, an
+    untested boost/zcol interaction)."""
+    from iterativeclosestpoint_tpu.ops import pallas_nn as pn
+
+    # Eight stacked terrain layers: box dimension ≈ 2 (the boost's
+    # d-gate passes) but full-z columns hold 8 surfaces of rows, so the
+    # base trange blows past the surface regime.
+    layers = [make_cloud(50_000, seed=s, extent=100.0) for s in range(8)]
+    cloud = np.concatenate(
+        [l + np.array([0.0, 0.0, 10.0 * i]) for i, l in enumerate(layers)]
+    )
+    boosted, base = auto_resolution_data(
+        cloud, surface_boost_occupancy=32, return_base=True
+    )
+    tr_base = pn.auto_trange(cloud, base)
+    # Construction guard: this workload must sit exactly on the boundary
+    # the gate protects — the raw boost fires, AND the base parameters
+    # are in the zcol candidate regime.
+    assert boosted == 2 * base and tr_base >= 2048 and base <= 128, (
+        boosted, base, tr_base,
+    )
+    est = pn.estimate_grid_params(cloud)
+    assert est[0] == base and est[1] == tr_base and est[3] == base, est
+
+
+def test_resolve_slab_grid_params_heterogeneous_boost_gate():
+    """A dense slab must not force its boosted resolution onto sparser
+    slabs whose own occupancy gate refused it (round-4 advisor medium:
+    the old max() combine dropped sparse slabs below the measured
+    32 pts/occupied-cell collapse edge). The boost applies only when
+    EVERY slab clears the gate at the shared boosted R."""
+    from iterativeclosestpoint_tpu.ops import pallas_nn as pn
+    from iterativeclosestpoint_tpu.ops.cellblock import surface_boost_ok
+
+    dense = make_cloud(1_000_000, seed=3, extent=100.0)
+    sparse = make_cloud(8_000, seed=4, extent=100.0)
+    base_dense = auto_resolution_data(dense)
+    # Construction guard: dense boosts on its own; sparse refuses at the
+    # shared boosted R.
+    assert auto_resolution_data(
+        dense, surface_boost_occupancy=32
+    ) == 2 * base_dense
+    assert not surface_boost_ok(sparse, 2 * base_dense)
+
+    het = pn.resolve_slab_grid_params(
+        [dense, sparse], n_dev=2, n_queries=1_000_000
+    )
+    assert het["resolution"] == base_dense, het          # boost refused
+    assert het["normals_resolution"] == base_dense
+    hom = pn.resolve_slab_grid_params(
+        [dense, dense], n_dev=2, n_queries=1_000_000
+    )
+    assert hom["resolution"] == 2 * base_dense, hom      # boost applies
+    assert hom["normals_resolution"] == base_dense       # normals: base
+
+
 def test_auto_trange_properties():
     """Data-adaptive slab range: ladder-quantized within [floor, cap],
     monotone in density, and scaling with per-column mass."""
