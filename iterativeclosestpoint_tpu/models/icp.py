@@ -894,11 +894,13 @@ def _prep_fine_source(src_raw, T_loc, origin, cell_size, *, resolution,
     )
 
     src = apply_transform(T_loc, src_raw)
-    rows, weight = grouped_tile_order_device(
+    # with_coords fuses the row-ordered coordinate gather into the
+    # layout's own output gather (one ~30 ns/row pass instead of two).
+    rows, weight, src_rows = grouped_tile_order_device(
         src, origin, cell_size, resolution=resolution, tile_q=tile_q,
-        group=group,
+        group=group, with_coords=True,
     )
-    return src[rows], rows, weight
+    return src_rows, rows, weight
 
 
 def icp_register(

@@ -83,17 +83,24 @@ def _occupancy_model(target: np.ndarray, probe: int = 32):
     extent = float((tmax - tmin).max()) or 1.0
     probe_target = target[:: max(1, len(target) // 2_000_000)]
 
-    def occupied(r):
-        target = probe_target
-        c = np.clip((target - tmin) / (extent / r), 0, r - 1).astype(np.int32)
-        cid = (c[:, 0] * r + c[:, 1]) * r + c[:, 2]
-        # Boolean occupancy scatter: O(N + r³), ~10x faster than unique().
-        occ = np.zeros(r * r * r, np.bool_)
-        occ[cid] = True
-        return max(int(occ.sum()), 1)
-
-    c1 = occupied(probe)
-    c2 = occupied(probe * 2)
+    # ONE cellize pass at 2·probe; the probe-scale occupancy derives
+    # exactly from it (cells at probe are the 2·probe cells with
+    # coordinates >> 1: floor(floor(y)/2) == floor(y/2) for y ≥ 0).
+    # Halves the dominant cost of this estimator (~88 → ~45 ms at 1M —
+    # it sits on the synced fixed-cost path of every registration).
+    r2 = probe * 2
+    c = np.clip((probe_target - tmin) / (extent / r2), 0, r2 - 1).astype(
+        np.int32
+    )
+    cid2 = (c[:, 0] * r2 + c[:, 1]) * r2 + c[:, 2]
+    occ2 = np.zeros(r2 * r2 * r2, np.bool_)
+    occ2[cid2] = True
+    c2 = max(int(occ2.sum()), 1)
+    ch = c >> 1
+    cid1 = (ch[:, 0] * probe + ch[:, 1]) * probe + ch[:, 2]
+    occ1 = np.zeros(probe * probe * probe, np.bool_)
+    occ1[cid1] = True
+    c1 = max(int(occ1.sum()), 1)
     d = min(max(np.log2(c2 / c1), 1.0), 3.0)
     return c1, d
 

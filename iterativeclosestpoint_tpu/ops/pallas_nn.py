@@ -38,6 +38,7 @@ global offset; see models/icp.py).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -296,6 +297,36 @@ def auto_trange(
 # fori_loop chunk sweep, not just a bigger number.
 _COARSE_TRANGE_CAP = 16384
 
+
+def auto_coarse_trange(target, resolution, *, population=None):
+    """Data-adaptive row budget for the COARSE repair grid (round 5).
+
+    The repair stages re-sweep bad tiles against a 4×-coarser grid; the
+    budget was fixed at ``_COARSE_TRANGE_CAP`` (the scoped-VMEM compile
+    bound) — a safety maximum, and the dominant repair cost: every
+    firing pays slabs×trange lanes per tile. ``auto_trange`` measured at
+    the coarse resolution sizes it from the target's own window-row
+    distribution instead, PLUS ONE LADDER NOTCH of drift margin.
+
+    The notch is measured, not decorative (tools/exp_repair_scan.py, 1M
+    point-mode fine loop): the raw auto value (6144) under-budgets the
+    AGED repair tiles — point mode slides on this terrain, so the tiles
+    reaching repair have wider-than-p99.9 spans — and the overflow
+    decertifies at the coarse level into the ~60× brute tier EVERY
+    iteration: 27.5 ms/iter vs 21.7 at the old fixed 16384 budget. One
+    notch up (8192) keeps the repair certifiable AND halves the firing
+    cost: 20.8 ms/iter. Exactness is budget-independent either way (an
+    overflowing tile decertifies into brute; the certificate, not the
+    budget, carries correctness) — the budget only steers WHICH tier
+    pays."""
+    tr = auto_trange(target, max(resolution // 4, 8),
+                     population=population)
+    for step in _TRANGE_LADDER:
+        if step > tr:
+            tr = step
+            break
+    return min(tr, _COARSE_TRANGE_CAP)
+
 _ZRANGE_LADDER = (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
 
 
@@ -478,10 +509,10 @@ def _build_zgrids_dev(
 
 
 @functools.partial(jax.jit, static_argnames=("resolution", "tile_q",
-                                              "group"))
+                                              "group", "with_coords"))
 def grouped_tile_order_device(
     query, origin, cell_size, *, resolution: int, tile_q: int = 128,
-    group: str = "x",
+    group: str = "x", with_coords: bool = False,
 ):
     """On-device ``grouped_tile_order`` with a static output length.
 
@@ -513,10 +544,22 @@ def grouped_tile_order_device(
     gq = c[:, 0] if group == "x" else c[:, 0] * R + c[:, 1]
     # One stable sort carrying (row index, group id) as payloads — the
     # argsort + gather formulation pays an extra ~30 ns/row gather.
-    _, order, xc = jax.lax.sort(
-        [cid, jnp.arange(n, dtype=jnp.int32), gq],
-        dimension=0, num_keys=1, is_stable=True,
-    )  # xc sorted (cid is x-major, then y)
+    # ``with_coords=True`` additionally carries the query coordinates as
+    # sort payloads and emits the ROW-ORDERED coordinates from the same
+    # single output gather as ``rows`` (bitcast into a 4th column):
+    # XLA row-gathers cost ~30 ns/row INDEPENDENT of width, so fusing
+    # the caller's ``query[rows]`` into this one saves a full 1M-row
+    # gather (~30 ms at 1M — measured bulk of the fine/prep stage).
+    ops = [cid, jnp.arange(n, dtype=jnp.int32), gq]
+    if with_coords:
+        ops += [q[:, 0], q[:, 1], q[:, 2]]
+        _, order, xc, sx, sy, sz = jax.lax.sort(
+            ops, dimension=0, num_keys=1, is_stable=True,
+        )
+    else:
+        _, order, xc = jax.lax.sort(
+            ops, dimension=0, num_keys=1, is_stable=True,
+        )  # xc sorted (cid is x-major, then y)
     bounds = jnp.searchsorted(xc, jnp.arange(G + 1, dtype=jnp.int32))
     counts = bounds[1:] - bounds[:-1]
     in_base = bounds[:-1]
@@ -535,9 +578,19 @@ def grouped_tile_order_device(
     r = j - out_base[g_cl]
     cnt = counts[g_cl]
     real = (g < G) & (r < cnt)
-    idx = in_base[g_cl] + jnp.minimum(r, jnp.maximum(cnt - 1, 0))
-    rows = order[jnp.clip(idx, 0, n - 1)].astype(jnp.int32)
+    idx = jnp.clip(
+        in_base[g_cl] + jnp.minimum(r, jnp.maximum(cnt - 1, 0)), 0, n - 1
+    )
     weight = real.astype(jnp.float32)
+    if with_coords:
+        payload = jnp.stack(
+            [jax.lax.bitcast_convert_type(order, jnp.float32), sx, sy, sz],
+            axis=1,
+        )
+        out = payload[idx]  # ONE row gather for rows + coords
+        rows = jax.lax.bitcast_convert_type(out[:, 0], jnp.int32)
+        return rows, weight, out[:, 1:4]
+    rows = order[idx].astype(jnp.int32)
     return rows, weight
 
 
@@ -614,9 +667,13 @@ def resolve_slab_grid_params(
         ):
             resolution = 2 * resolution
             trange = _trange_at(resolution)
+    coarse_tr = max(
+        auto_coarse_trange(s, resolution, population=p)
+        for s, p in zip(slab_samples, pops)
+    )
     return dict(
         resolution=int(resolution), trange=int(trange),
-        coarse_trange=int(_COARSE_TRANGE_CAP), fine_kernel=out_kernel,
+        coarse_trange=int(coarse_tr), fine_kernel=out_kernel,
         normals_resolution=int(normals_resolution),
     )
 
@@ -626,7 +683,9 @@ def estimate_grid_params(target_local, resolution=None):
     so callers can run them EARLY (they cost ~150 ms at 1M and are pure
     numpy — the multiscale pipeline runs them while the big uploads ride
     the tunnel, then hands the result back via ``est=``). Returns
-    (resolution, trange_est, coarse_trange, normals_resolution) —
+    (resolution, trange_est, coarse_trange, normals_resolution, zrange
+    — the z-window budget, precomputed only in the zcol regime, else
+    None) —
     ``resolution`` carries the fused-kernel surface boost
     (auto_resolution_data(surface_boost_occupancy=32), round 4);
     ``normals_resolution`` is the unboosted base for cell-PCA sizing.
@@ -641,6 +700,7 @@ def estimate_grid_params(target_local, resolution=None):
     target_local = np.asarray(target_local)
     from iterativeclosestpoint_tpu.ops.cellblock import auto_resolution_data
 
+    zrange = None
     if resolution is not None:
         R = base = resolution
         tr = auto_trange(target_local, R)
@@ -652,9 +712,14 @@ def estimate_grid_params(target_local, resolution=None):
         if tr_base >= 2048 and base <= 128:
             R = base          # potential zcol regime: boost refused
             tr = tr_base
+            # Precompute the z-window budget here too (the zcol gate and
+            # grid build in make_pallas_nn_device otherwise run this
+            # ~40 ms host pass TWICE on the coarse→fine critical path —
+            # this stage rides under the bulk uploads instead).
+            zrange = auto_zrange(target_local, base)
         else:
             tr = auto_trange(target_local, R) if R != base else tr_base
-    return (R, tr, _COARSE_TRANGE_CAP, base)
+    return (R, tr, auto_coarse_trange(target_local, R), base, zrange)
 
 
 def make_pallas_nn_device(
@@ -708,18 +773,21 @@ def make_pallas_nn_device(
     target_local = np.asarray(target_local)
     coarse_trange = None
     normals_resolution = resolution  # user-forced R sizes normals too
+    est_zrange = None
     if est is not None and resolution is None and trange is None:
         # Precomputed estimator results (estimate_grid_params): same
         # numbers, same kernel-gate semantics, host passes skipped.
-        resolution, trange_est, coarse_trange, normals_resolution = est
+        # 4-tuples (older callers) lack the precomputed zrange.
+        (resolution, trange_est, coarse_trange, normals_resolution,
+         *_rest) = est
+        est_zrange = _rest[0] if _rest else None
     elif resolution is None and trange is None:
         # Full auto: one copy of the boost/zcol-regime ordering
         # (estimate_grid_params — the boost is refused when the UNBOOSTED
         # base parameters land in the zcol candidate regime, so the
         # auto-kernel gate below sees the same numbers it did pre-boost).
-        resolution, trange_est, coarse_trange, normals_resolution = (
-            estimate_grid_params(target_local)
-        )
+        (resolution, trange_est, coarse_trange, normals_resolution,
+         est_zrange) = estimate_grid_params(target_local)
     else:
         if resolution is None:
             # Surface-boosted NN resolution (fused-kernel re-tune); the
@@ -741,10 +809,14 @@ def make_pallas_nn_device(
     # count (12 slots × zrange) actually undercuts the sweep's
     # (slabs × trange): an undersized budget is a certification cliff,
     # an oversized one is slower than the sweep it replaces.
+    zrange = None
     if kernel == "auto":
         kernel = "sweep"
         if trange is None and trange_est >= 2048 and resolution <= 128:
-            zr_est = auto_zrange(target_local, resolution, tile_q=tile_q)
+            zr_est = (
+                est_zrange if est_zrange is not None
+                else auto_zrange(target_local, resolution, tile_q=tile_q)
+            )
             # Effective zcol cost includes the (x,y)-group layout's query
             # padding (each of the R² groups pads to a tile multiple).
             pad = 1.0 + (resolution**2 * (tile_q - 1) / 2) / max(
@@ -752,9 +824,13 @@ def make_pallas_nn_device(
             )
             if 12 * zr_est * pad < 0.7 * slabs * trange_est:
                 kernel = "zcol"
+                zrange = zr_est
     trange = trange_est
-    if kernel == "zcol":
-        zrange = auto_zrange(target_local, resolution, tile_q=tile_q)
+    if kernel == "zcol" and zrange is None:
+        zrange = (
+            est_zrange if est_zrange is not None
+            else auto_zrange(target_local, resolution, tile_q=tile_q)
+        )
     tmin, tmax = bbox(target_local)
     if target_dev is None:
         target_dev = jnp.asarray(target_local, jnp.float32)
@@ -1929,6 +2005,18 @@ def nn_colsweep_exact(
                            dtype=jnp.int32)
 
         n_bad0 = n_coarse_bad()
+        if os.environ.get("ICP_DEBUG_REPAIR"):
+            # Repair-traffic observability (compiled-loop ground truth;
+            # free when the env flag is unset — the branch is traced
+            # out). Counts tiles entering each repair tier. NOTE: uses
+            # jax.debug.print, which the axon tunnel backend does not
+            # support (no host callbacks) — CPU / standard TPU only;
+            # over axon, attribute repair traffic from a profiler trace
+            # (the per-stage kernel shapes identify each tier).
+            jax.debug.print(
+                "repair-census: coarse-bad {} / uncert-q {} / tie-q {}",
+                n_bad0, jnp.sum(~c_t), jnp.sum(tie_t),
+            )
         m_t, d_t, c_t = jax.lax.cond(
             n_bad0 > 0, mk_repair(ct_small), lambda c: c, (m_t, d_t, c_t)
         )
@@ -1953,6 +2041,8 @@ def nn_colsweep_exact(
 
     bad_tile2 = jnp.any(~c_t, axis=1)
     n_bad_t2 = jnp.sum(bad_tile2, dtype=jnp.int32)
+    if os.environ.get("ICP_DEBUG_REPAIR"):
+        jax.debug.print("repair-census: brute-bad {}", n_bad_t2)
     bt = max(brute_batch // tile_q, 1)         # tiles per brute pass
     kmax = min(brute_passes * bt, t)           # total tile budget
     # Staged like the coarse repair: in the steady state the queries that

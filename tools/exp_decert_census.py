@@ -1,9 +1,15 @@
 """Round-5: per-iteration decertification census on the 1M bench fine
 loop — how many tiles decertify per iteration, split tie vs distance.
-Sizes the repair-stage budget ladder (ct_small/ct_mid, bt_small): the
-trace shows the 64-tile coarse stage and the 4-tile brute stage firing
-EVERY iteration after tie-routing, so the every-iteration costs are set
-by the real drift/tie drizzle sizes, not by cold-start bulk."""
+
+CAVEAT (measured): this replay DISAGREES with the production trace —
+replaying recorded poses counts 280-1400 dist-bad tiles/iter while the
+compiled loop's own firing pattern (profiler trace, the shape of each
+repair tier's kernel) shows n_bad0 <= 64 on nearly every iteration.
+The recorded world-frame history composed back to the local frame does
+not reproduce the loop's exact f32 query positions near certificate
+edges (and jax.debug.print ground-truthing is unsupported over the
+axon tunnel — no host callbacks). Trust the trace for firing counts;
+use this tool only for orders of magnitude at cold poses."""
 
 import os
 import sys
