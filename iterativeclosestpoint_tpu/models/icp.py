@@ -881,19 +881,32 @@ def _dev_scalar(value, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("resolution", "tile_q",
-                                              "group"))
+                                              "group", "fold"))
 def _prep_fine_source(src_raw, T_loc, origin, cell_size, *, resolution,
-                      tile_q=128, group="x"):
+                      tile_q=128, group="x", fold=True):
     """One-dispatch fine-level source prep: apply the (local-frame) initial
     transform on device, build the x-group-aligned query layout, gather.
 
     Fusing these (vs three separate dispatches) matters on hosts where
-    every dispatch round-trips a device tunnel (~30 ms each)."""
+    every dispatch round-trips a device tunnel (~30 ms each).
+
+    ``fold=False``: the layout is still computed at the TRANSFORMED
+    positions (tile coherence needs the current pose) but the returned
+    rows are the RAW source reordered — for callers whose loop carry
+    already contains the pose (the two-stage boosted fine level resumes
+    through ``resume_carry``; folding it into the source too would
+    apply it twice)."""
     from iterativeclosestpoint_tpu.ops.pallas_nn import (
         grouped_tile_order_device,
     )
 
     src = apply_transform(T_loc, src_raw)
+    if not fold:
+        rows, weight = grouped_tile_order_device(
+            src, origin, cell_size, resolution=resolution, tile_q=tile_q,
+            group=group,
+        )
+        return src_raw[rows], rows, weight
     # with_coords fuses the row-ordered coordinate gather into the
     # layout's own output gather (one ~30 ns/row pass instead of two).
     rows, weight, src_rows = grouped_tile_order_device(
@@ -929,6 +942,7 @@ def icp_register(
     prepared_nn=None,
     resume_carry: Optional[tuple] = None,
     segment_callback: Optional[Callable] = None,
+    layout_transform: Optional[np.ndarray] = None,
 ) -> ICPResult:
     """Register ``source`` onto ``target``; returns world-frame results.
 
@@ -1028,8 +1042,21 @@ def icp_register(
                 f"estimator={estimator!r} — rebuild the factory to match"
             )
         grid0 = nn_state[0]
+        fold = True
         if T_init is not None and device_data is not None:
             T_loc = _rebase_transform(T_init, -offset)
+        elif layout_transform is not None and device_data is not None:
+            # Layout-only pose (two-stage boosted fine, multiscale.py):
+            # the carry already holds the full pose, so the layout is
+            # computed at ``layout_transform`` but the source stays
+            # raw — folding would apply the pose twice. Deliberately
+            # NOT applied on the generic resume path: a resumed run's
+            # layout must match the uninterrupted run's (row order
+            # feeds reduction order — bit-identical resume).
+            T_loc = _rebase_transform(
+                np.asarray(layout_transform, np.float64), -offset
+            )
+            fold = False
         else:
             # Cached device identity: the only per-call host→device
             # transfer left on the prepared path — through the FIFO
@@ -1043,6 +1070,7 @@ def icp_register(
                 grid0.cell_size, resolution=resolution,
                 tile_q=getattr(nn_fn, "tile_q", 128),
                 group=getattr(nn_fn, "layout_group", "x"),
+                fold=fold,
             )
             done(src_local)
         layout_applied = True  # _prep_fine_source already gathered

@@ -188,7 +188,49 @@ def icp_register_multiscale(
             grid_est = estimate_grid_params(
                 tgt_local, fine_kwargs.get("grid_resolution")
             )
-        deferred_prep = (make_pallas_nn_device, tgt_local, tgt_dev, grid_est)
+            # Two-stage boosted fine level (round 5, plane mode): when
+            # the surface boost is refused by the 32 pts/cell occupancy
+            # gate but the cloud still clears a 16 pts/cell floor, the
+            # boosted grid is SAFE once the pose is converged — the
+            # gate protects the LADDER HANDOFF, not the kernel
+            # (tools/exp_10m_handoff.py, 10M terrain: R=512 sustains
+            # 43M pts/s at the converged pose vs 27.6M at R=256, while
+            # a cold handoff into 0.195 m cells collapses). Plane mode
+            # converges to noise level, so its fine level runs a short
+            # stage at the base resolution first, then switches to the
+            # boosted grid (resume_carry + layout_transform keep it one
+            # logical registration). Point mode is excluded: its pose
+            # on smooth terrain stalls ABOVE the boosted cell size
+            # (reference-faithful), so the boosted stage would start
+            # outside its cells every time.
+            boost2_est = None
+            if (
+                fine_kwargs.get("estimator", "point") == "plane"
+                and mesh is None
+                and fine_kwargs.get("grid_resolution") is None
+            ):
+                R_e, tr_e, ct_e, base_e, z_e = grid_est
+                if R_e == base_e and z_e is None and tr_e < 2048:
+                    from iterativeclosestpoint_tpu.ops.cellblock import (
+                        surface_boost_ok,
+                    )
+
+                    if surface_boost_ok(tgt_local, 2 * base_e,
+                                        occupancy=16):
+                        from iterativeclosestpoint_tpu.ops.pallas_nn import (
+                            auto_coarse_trange,
+                            auto_trange,
+                        )
+
+                        boost2_est = (
+                            2 * base_e,
+                            auto_trange(tgt_local, 2 * base_e),
+                            auto_coarse_trange(tgt_local, 2 * base_e),
+                            base_e,
+                            None,
+                        )
+        deferred_prep = (make_pallas_nn_device, tgt_local, tgt_dev, grid_est,
+                         boost2_est)
         fine_kwargs.setdefault("nn_backend", "pallas")
         device_data = (src_dev, tgt_dev, offset)
 
@@ -200,22 +242,30 @@ def icp_register_multiscale(
     levels = []
     for li, stride in enumerate(strides):
         last = li == len(strides) - 1
+        prepared_nn2 = None
         if last and deferred_prep is not None:
             # The coarse loop has been dispatched (and completed); the
             # fine grid's device build now queues behind nothing but the
             # in-flight target upload.
             with stage("grid_build") as done:
-                make_dev, tgt_local_, tgt_dev_, grid_est_ = deferred_prep
+                (make_dev, tgt_local_, tgt_dev_, grid_est_,
+                 boost2_est_) = deferred_prep
+                with_n = fine_kwargs.get("estimator", "point") == "plane"
                 prepared_nn = make_dev(
                     tgt_local_,
                     target_dev=tgt_dev_,
-                    with_normals=(
-                        fine_kwargs.get("estimator", "point") == "plane"
-                    ),
+                    with_normals=with_n,
                     # grid_est_ already honors a forced grid_resolution
                     # (estimate_grid_params(target, resolution)).
                     est=grid_est_,
                 )
+                if boost2_est_ is not None:
+                    prepared_nn2 = make_dev(
+                        tgt_local_,
+                        target_dev=tgt_dev_,
+                        with_normals=with_n,
+                        est=boost2_est_,
+                    )
                 done(prepared_nn[1])
         with scope("fine" if last else f"coarse{li}" if li else "coarse"):
             res = _run_level(
@@ -223,6 +273,7 @@ def icp_register_multiscale(
                 fine_kwargs, device_data, prepared_nn, coarse_iterations,
                 coarse_tolerance, coarse_nn_backend,
                 coarse_device if li == 0 else None,
+                prepared_nn2=prepared_nn2,
             )
         levels.append((stride, res))
         T = res.transform
@@ -232,10 +283,17 @@ def icp_register_multiscale(
     return MultiscaleResult(final=levels[-1][1], levels=levels)
 
 
+# Stage-1 length of the two-stage boosted fine level: enough plane
+# iterations to converge the pose well inside the boosted cell size
+# (plane reaches noise level in ~5 on the measured workloads; the
+# boosted stage then runs certified — tools/exp_10m_handoff.py).
+_BOOST2_PRE_ITERATIONS = 5
+
+
 def _run_level(
     last, stride, source, target, T, dtype, mesh, fine_path, fine_kwargs,
     device_data, prepared_nn, coarse_iterations, coarse_tolerance,
-    coarse_nn_backend, coarse_device=None,
+    coarse_nn_backend, coarse_device=None, prepared_nn2=None,
 ):
     """One pyramid level (split out so each level is a timing scope)."""
     if not last:
@@ -326,8 +384,67 @@ def _run_level(
             res.carry_transform_local = None
             res.center_offset = None
         return res
-    return icp_register(
+    K = _BOOST2_PRE_ITERATIONS
+    mi = fine_kwargs.get("max_iterations", 50)
+    if prepared_nn2 is None or mi <= K:
+        return icp_register(
+            source, target, dtype=dtype, initial_transform=T,
+            device_data=device_data, prepared_nn=prepared_nn,
+            **fine_kwargs,
+        )
+
+    # Two-stage boosted fine level: K iterations at the base resolution
+    # converge the pose inside the boosted cell size, then the loop
+    # continues on the boosted grid through resume_carry (exact
+    # convergence-state carry) with the query layout rebuilt at the
+    # stage-boundary pose (layout_transform — the carry holds the pose,
+    # so the source itself stays raw). One logical registration: the
+    # histories concatenate, callbacks see consecutive iteration
+    # numbers, and an early stop in stage 1 simply IS the result.
+    fk1 = dict(fine_kwargs, max_iterations=K, return_registered=False)
+    res1 = icp_register(
         source, target, dtype=dtype, initial_transform=T,
-        device_data=device_data, prepared_nn=prepared_nn,
-        **fine_kwargs,
+        device_data=device_data, prepared_nn=prepared_nn, **fk1,
     )
+    from iterativeclosestpoint_tpu.models.icp import MAX_ITERATIONS
+
+    if res1.stop_reason != MAX_ITERATIONS:
+        # Converged/stopped inside stage 1 — stage 2 would add nothing.
+        if fine_kwargs.get("return_registered", True):
+            Tw = np.asarray(res1.transform)
+            res1.source_registered = (
+                np.asarray(source, np.float64) @ Tw[:3, :3].T + Tw[:3, 3]
+            )
+        return res1
+
+    fk2 = dict(fine_kwargs, max_iterations=mi - K)
+    pc = fine_kwargs.get("progress_callback")
+    if pc is not None:
+        fk2["progress_callback"] = (
+            lambda rec: pc({**rec, "iteration": rec["iteration"] + K})
+        )
+    sc = fine_kwargs.get("segment_callback")
+    if sc is not None:
+        fk2["segment_callback"] = (
+            lambda st: sc({**st, "iteration": st["iteration"] + K})
+        )
+    res2 = icp_register(
+        source, target, dtype=dtype,
+        device_data=device_data, prepared_nn=prepared_nn2,
+        resume_carry={
+            "transform": res1.transform,
+            "prev_error": res1.carry_prev_error,
+            "no_improve": res1.carry_no_improve,
+        },
+        layout_transform=res1.transform,
+        **fk2,
+    )
+    res2.iterations += res1.iterations
+    for f in ("history_rmse", "history_valid", "history_outliers",
+              "history_transform", "history_rotation_deg",
+              "history_translation", "history_mean_dist",
+              "history_std_dist", "history_threshold"):
+        setattr(res2, f, np.concatenate(
+            [getattr(res1, f), getattr(res2, f)], axis=0
+        ))
+    return res2

@@ -137,3 +137,67 @@ def test_multiscale_mesh_overlap_prep_matches():
         r_dev.final.source_registered, r_host.final.source_registered,
         atol=1e-4,
     )
+
+
+def test_two_stage_boosted_fine_plane():
+    """Round-5 two-stage boosted fine level: plane-mode clouds whose
+    surface boost is refused by the 32 pts/cell occupancy gate (but
+    clear the 16 pts/cell floor) run a short base-resolution stage to
+    converge the pose, then continue on the boosted grid through
+    resume_carry + layout_transform — one logical registration (the
+    10M measurement behind it: tools/exp_10m_handoff.py, 43M vs 27.6M
+    pts/s). 25k terrain sits exactly in that regime (base R=16,
+    post-boost occupancy in [16, 32))."""
+    from iterativeclosestpoint_tpu.ops.cellblock import (
+        auto_resolution_data,
+        surface_boost_ok,
+    )
+    from iterativeclosestpoint_tpu.ops.se3 import registration_error
+
+    src, tgt, T_true = make_registration_pair(
+        n=25_000, seed=21, noise_sigma=0.02, kind="terrain", extent=100.0
+    )
+    # Construction guard: boost refused at 32, allowed at 16.
+    r, base = auto_resolution_data(
+        tgt, surface_boost_occupancy=32, return_base=True
+    )
+    assert r == base and surface_boost_ok(tgt, 2 * base, occupancy=16)
+
+    kw = dict(dtype=jnp.float32, nn_backend="pallas", estimator="plane",
+              coarse_max_points=3000, coarse_iterations=10)
+    res = icp_register_multiscale(src, tgt, max_iterations=12,
+                                  tolerance=0.0, **kw)
+    # Stage 2 ran on the boosted grid; history is one registration.
+    assert res.final.nn_resolution == 2 * base, res.final.nn_resolution
+    assert res.final.iterations == 12
+    assert len(res.final.history_rmse) == 12
+    assert np.all(np.diff(res.final.history_rmse)[:4] <= 1e-6)  # sane
+    err = float(registration_error(
+        jnp.asarray(res.transform), jnp.asarray(T_true), jnp.asarray(src)
+    ))
+    assert err < 1e-2, err
+
+    # Single-stage reference at the base resolution: same convergence.
+    ref = icp_register_multiscale(src, tgt, max_iterations=12,
+                                  tolerance=0.0, grid_resolution=base,
+                                  **kw)
+    assert ref.final.nn_resolution == base
+    err_x = float(registration_error(
+        jnp.asarray(res.transform), jnp.asarray(ref.transform),
+        jnp.asarray(src)
+    ))
+    assert err_x < 1e-3, err_x
+
+    # max_iterations <= K: single-stage path, base resolution.
+    res_s = icp_register_multiscale(src, tgt, max_iterations=4,
+                                    tolerance=0.0, **kw)
+    assert res_s.final.nn_resolution == base
+
+    # Early convergence inside stage 1: result is stage 1's, with the
+    # registered cloud still delivered.
+    res_e = icp_register_multiscale(src, tgt, max_iterations=12,
+                                    tolerance=1.0, **kw)
+    assert res_e.final.iterations < 5
+    assert res_e.final.nn_resolution == base
+    assert res_e.final.source_registered is not None
+    assert res_e.final.source_registered.shape == src.shape

@@ -72,15 +72,23 @@ def main():
     log(f"base R={base_R} trange={tr256}; boosted R={2*base_R} "
         f"trange={tr512}")
 
-    prep256 = pn.make_pallas_nn_device(
+    # Separate factories per estimator (icp_register pins the match).
+    prep256p = pn.make_pallas_nn_device(
+        tgt_local, resolution=base_R, trange=tr256, target_dev=tgt_dev,
+    )
+    prep512p = pn.make_pallas_nn_device(
+        tgt_local, resolution=2 * base_R, trange=tr512,
+        target_dev=tgt_dev,
+    )
+    prep256n = pn.make_pallas_nn_device(
         tgt_local, resolution=base_R, trange=tr256, target_dev=tgt_dev,
         with_normals=True,
     )
-    prep512 = pn.make_pallas_nn_device(
+    prep512n = pn.make_pallas_nn_device(
         tgt_local, resolution=2 * base_R, trange=tr512,
         target_dev=tgt_dev, with_normals=True,
     )
-    log("grids built (256 + 512)")
+    log("grids built (256 + 512, point + plane)")
 
     def fine(prepared, T0, iters, estimator, label, reps=2):
         kw = dict(
@@ -103,18 +111,18 @@ def main():
         return res
 
     # A: auto R=256 point (reference row).
-    fine(prep256, coarse.transform, ITERS, "point", "A: R=256 point")
+    fine(prep256p, coarse.transform, ITERS, "point", "A: R=256 point")
 
     # B: forced R=512 point straight off the ladder (control).
-    fine(prep512, coarse.transform, ITERS, "point",
+    fine(prep512p, coarse.transform, ITERS, "point",
          "B: R=512 point, ladder handoff")
 
     # C/D: R=256 plane pre-rung tightens the pose to noise level first.
-    pre = fine(prep256, coarse.transform, 5, "plane",
+    pre = fine(prep256n, coarse.transform, 5, "plane",
                "pre-rung: R=256 plane x5")
-    fine(prep512, pre.transform, ITERS, "point",
+    fine(prep512p, pre.transform, ITERS, "point",
          "C: R=512 point after pre-rung")
-    fine(prep512, pre.transform, ITERS, "plane",
+    fine(prep512n, pre.transform, ITERS, "plane",
          "D: R=512 plane after pre-rung")
 
 
