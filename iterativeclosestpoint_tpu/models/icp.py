@@ -901,17 +901,14 @@ def _prep_fine_source(src_raw, T_loc, origin, cell_size, *, resolution,
     )
 
     src = apply_transform(T_loc, src_raw)
-    if not fold:
-        rows, weight = grouped_tile_order_device(
-            src, origin, cell_size, resolution=resolution, tile_q=tile_q,
-            group=group,
-        )
-        return src_raw[rows], rows, weight
     # with_coords fuses the row-ordered coordinate gather into the
-    # layout's own output gather (one ~30 ns/row pass instead of two).
+    # layout's own output gather (one ~30 ns/row pass instead of two);
+    # fold=False keys the layout by the transformed positions but
+    # carries the RAW coordinates as the payload.
     rows, weight, src_rows = grouped_tile_order_device(
         src, origin, cell_size, resolution=resolution, tile_q=tile_q,
         group=group, with_coords=True,
+        coords=None if fold else src_raw,
     )
     return src_rows, rows, weight
 
@@ -1111,7 +1108,18 @@ def icp_register(
                 # (composed) world transform is the correct resume path.
                 rec = {k: v for k, v in rec.items()
                        if k not in ("transform_local", "offset")}
-                rec["transform"] = rec["transform"] @ T_init
+                Tw = rec["transform"] @ T_init
+                rec["transform"] = Tw
+                # Rotation/translation magnitudes follow the COMPOSED
+                # transform (the run-relative values would jump at a
+                # stage/resume boundary — round-5 review finding on the
+                # two-stage fine level).
+                if "rotation_angle_deg" in rec:
+                    rec["rotation_angle_deg"] = float(np.degrees(
+                        np.arccos(np.clip(
+                            (np.trace(Tw[:3, :3]) - 1) / 2, -1, 1))))
+                    rec["translation_norm"] = float(
+                        np.linalg.norm(Tw[:3, 3]))
                 cb(rec)
 
             return wrapped
@@ -1207,6 +1215,20 @@ def icp_register(
     if T_init is not None:
         res.transform = res.transform @ T_init
         res.history_transform = res.history_transform @ T_init
+        # Rotation/translation histories follow the composed transforms
+        # (run-relative values would be discontinuous against history
+        # records from a later resumed/boosted stage, whose carry holds
+        # the full pose). The reference computes these magnitudes from
+        # its own cumulative transform (icpengine.cpp:361-362) — with a
+        # pre-alignment folded in, the composed cumulative IS that
+        # transform.
+        trc = np.trace(res.history_transform[:, :3, :3], axis1=1, axis2=2)
+        res.history_rotation_deg = np.degrees(
+            np.arccos(np.clip((trc - 1) / 2, -1, 1))
+        )
+        res.history_translation = np.linalg.norm(
+            res.history_transform[:, :3, 3], axis=1
+        )
         # The local carry does not include T_init — a resume through it
         # would lose the pre-alignment; force the world-transform path.
         res.carry_transform_local = None

@@ -380,6 +380,16 @@ def _run_level(
         if T is not None:
             res.transform = res.transform @ T
             res.history_transform = res.history_transform @ T
+            # Magnitudes follow the composed transforms (see icp.py's
+            # T_init composition).
+            trc = np.trace(res.history_transform[:, :3, :3],
+                           axis1=1, axis2=2)
+            res.history_rotation_deg = np.degrees(
+                np.arccos(np.clip((trc - 1) / 2, -1, 1))
+            )
+            res.history_translation = np.linalg.norm(
+                res.history_transform[:, :3, 3], axis=1
+            )
             # Local carry misses the composed-in coarse transform.
             res.carry_transform_local = None
             res.center_offset = None

@@ -108,6 +108,7 @@ def _occupancy_model(target: np.ndarray, probe: int = 32):
 def surface_boost_ok(
     target: np.ndarray, resolution: int, *,
     population: "int | None" = None, occupancy: int = 32, probe: int = 32,
+    model: "tuple[int, float] | None" = None,
 ) -> bool:
     """True iff the surface-boost gate passes with ``resolution`` as the
     BOOSTED grid resolution on this cloud (or strided sample with
@@ -116,11 +117,16 @@ def surface_boost_ok(
     safe edge for the coarse→fine ladder handoff — see
     ``auto_resolution_data``). The partitioned resolver calls this per
     slab so a dense slab cannot force a boosted R onto sparser slabs
-    whose own occupancy sits below the safe edge."""
+    whose own occupancy sits below the safe edge.
+
+    ``model``: a precomputed ``_occupancy_model(target, probe)`` result
+    — callers that already ran the probe pass (estimate_grid_params,
+    resolve_slab_grid_params) reuse it instead of paying the O(N)
+    cellize again (~45 ms at the 2M sample cap)."""
     target = np.asarray(target)
     if resolution > 512:
         return False
-    c1, d = _occupancy_model(target, probe)
+    c1, d = model if model is not None else _occupancy_model(target, probe)
     pop = population if population is not None else len(target)
     return bool(
         d <= 2.45 and pop / (c1 * (resolution / probe) ** d) >= occupancy
@@ -132,6 +138,7 @@ def auto_resolution_data(
     population: "int | None" = None,
     surface_boost_occupancy: "int | None" = None,
     return_base: bool = False,
+    model: "tuple[int, float] | None" = None,
 ) -> "int | tuple[int, int]":
     """Data-aware resolution: probe occupied-cell counts at two scales to
     estimate the cloud's box dimension d (≈2 for scan surfaces, ≈3 for
@@ -164,7 +171,7 @@ def auto_resolution_data(
     base ignores the boost — callers that size normals estimation keep
     the base (a boosted PCA cell would quarter the points per cell)."""
     target = np.asarray(target)
-    c1, d = _occupancy_model(target, probe)
+    c1, d = model if model is not None else _occupancy_model(target, probe)
     pop = population if population is not None else len(target)
     # cells(R) ≈ c1 · (R/probe)^d ; want pop/cells(R) ≈ occupancy.
     r = probe * (pop / (occupancy * c1)) ** (1.0 / d)

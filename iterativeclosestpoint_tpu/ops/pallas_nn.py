@@ -323,9 +323,12 @@ def auto_coarse_trange(target, resolution, *, population=None):
                      population=population)
     for step in _TRANGE_LADDER:
         if step > tr:
-            tr = step
-            break
-    return min(tr, _COARSE_TRANGE_CAP)
+            return min(step, _COARSE_TRANGE_CAP)
+    # auto_trange saturated its own 8192 cap (the ladder top): the notch
+    # must still exist — the densest coarse distributions are exactly
+    # where aged repair tiles overflow — so double up to the compile
+    # bound (the round-4 budget).
+    return min(2 * tr, _COARSE_TRANGE_CAP)
 
 _ZRANGE_LADDER = (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
 
@@ -512,7 +515,7 @@ def _build_zgrids_dev(
                                               "group", "with_coords"))
 def grouped_tile_order_device(
     query, origin, cell_size, *, resolution: int, tile_q: int = 128,
-    group: str = "x", with_coords: bool = False,
+    group: str = "x", with_coords: bool = False, coords=None,
 ):
     """On-device ``grouped_tile_order`` with a static output length.
 
@@ -544,15 +547,19 @@ def grouped_tile_order_device(
     gq = c[:, 0] if group == "x" else c[:, 0] * R + c[:, 1]
     # One stable sort carrying (row index, group id) as payloads — the
     # argsort + gather formulation pays an extra ~30 ns/row gather.
-    # ``with_coords=True`` additionally carries the query coordinates as
-    # sort payloads and emits the ROW-ORDERED coordinates from the same
+    # ``with_coords=True`` additionally carries coordinates as sort
+    # payloads and emits the ROW-ORDERED coordinates from the same
     # single output gather as ``rows`` (bitcast into a 4th column):
     # XLA row-gathers cost ~30 ns/row INDEPENDENT of width, so fusing
     # the caller's ``query[rows]`` into this one saves a full 1M-row
     # gather (~30 ms at 1M — measured bulk of the fine/prep stage).
+    # ``coords`` (optional) substitutes the payload coordinates: the
+    # two-stage fine level keys the layout by the CURRENT pose but
+    # needs the RAW source reordered (the loop carry holds the pose).
     ops = [cid, jnp.arange(n, dtype=jnp.int32), gq]
     if with_coords:
-        ops += [q[:, 0], q[:, 1], q[:, 2]]
+        cq = q if coords is None else coords.astype(jnp.float32)
+        ops += [cq[:, 0], cq[:, 1], cq[:, 2]]
         _, order, xc, sx, sy, sz = jax.lax.sort(
             ops, dimension=0, num_keys=1, is_stable=True,
         )
@@ -627,9 +634,14 @@ def resolve_slab_grid_params(
         # gate refused it (their ladder handoff would land outside the
         # fine cell size: measured collapses at 21 and 8 pts/cell,
         # tools/exp_res_retune.py).
+        from iterativeclosestpoint_tpu.ops.cellblock import (
+            _occupancy_model,
+        )
+
+        models = [_occupancy_model(np.asarray(s)) for s in slab_samples]
         resolution = normals_resolution = max(
-            auto_resolution_data(s, population=p)
-            for s, p in zip(slab_samples, pops)
+            auto_resolution_data(s, population=p, model=m)
+            for s, p, m in zip(slab_samples, pops, models)
         )
 
     def _trange_at(r):
@@ -662,8 +674,8 @@ def resolve_slab_grid_params(
         from iterativeclosestpoint_tpu.ops.cellblock import surface_boost_ok
 
         if all(
-            surface_boost_ok(s, 2 * resolution, population=p)
-            for s, p in zip(slab_samples, pops)
+            surface_boost_ok(s, 2 * resolution, population=p, model=m)
+            for s, p, m in zip(slab_samples, pops, models)
         ):
             resolution = 2 * resolution
             trange = _trange_at(resolution)
@@ -693,32 +705,59 @@ def estimate_grid_params(target_local, resolution=None):
     The boost is surface-regime-only: when the UNBOOSTED base parameters
     land in the zcol kernel's candidate regime (base trange ≥ 2048 at
     base R ≤ 128 — quasi-volumetric clouds up to the boost's d ≤ 2.45
-    box-dimension gate), the base numbers are returned untouched so the
-    downstream auto-kernel gate (make_pallas_nn_device) evaluates the
-    zcol cost model against the same parameters it did pre-boost,
-    instead of a boosted R=256 silently disqualifying the zcol switch."""
+    box-dimension gate), the FULL zcol cost model is evaluated here at
+    the base parameters (same inequality as make_pallas_nn_device's
+    auto gate, at its default slabs=4/tile_q=128). If zcol wins, the
+    base numbers plus the precomputed zrange are returned; if the cost
+    model rejects zcol (its candidate count does not undercut the
+    sweep's), the cloud is a sweep cloud after all and the boost is
+    reconsidered — matching resolve_slab_grid_params, which orders the
+    decisions the same way on the partitioned paths."""
     target_local = np.asarray(target_local)
-    from iterativeclosestpoint_tpu.ops.cellblock import auto_resolution_data
+    from iterativeclosestpoint_tpu.ops.cellblock import (
+        _occupancy_model,
+        auto_resolution_data,
+        surface_boost_ok,
+    )
 
     zrange = None
     if resolution is not None:
         R = base = resolution
         tr = auto_trange(target_local, R)
     else:
+        # One occupancy-probe pass (O(N) cellize) shared by the
+        # resolution pick and the boost gates below.
+        model = _occupancy_model(target_local)
         R, base = auto_resolution_data(
-            target_local, surface_boost_occupancy=32, return_base=True
+            target_local, surface_boost_occupancy=32, return_base=True,
+            model=model,
         )
         tr_base = auto_trange(target_local, base)
+        tr = tr_base
+        boosted = R != base
         if tr_base >= 2048 and base <= 128:
-            R = base          # potential zcol regime: boost refused
-            tr = tr_base
-            # Precompute the z-window budget here too (the zcol gate and
+            boosted = False
+            R = base
+            # Precompute the z-window budget here (the zcol gate and
             # grid build in make_pallas_nn_device otherwise run this
             # ~40 ms host pass TWICE on the coarse→fine critical path —
             # this stage rides under the bulk uploads instead).
             zrange = auto_zrange(target_local, base)
-        else:
-            tr = auto_trange(target_local, R) if R != base else tr_base
+            pad = 1.0 + (base**2 * (128 - 1) / 2) / max(
+                len(target_local), 1
+            )
+            if not (12 * zrange * pad < 0.7 * 4 * tr_base):
+                # zcol loses its own cost model: sweep cloud after all —
+                # the boost gets its normal chance. ``zrange`` stays in
+                # the tuple (make_pallas_nn_device's gate re-evaluates
+                # the same inequality from it without a fresh host pass
+                # when the boost is occupancy-refused here).
+                boosted = surface_boost_ok(
+                    target_local, 2 * base, model=model
+                )
+                R = 2 * base if boosted else base
+        if boosted:
+            tr = auto_trange(target_local, R)
     return (R, tr, auto_coarse_trange(target_local, R), base, zrange)
 
 
@@ -1648,7 +1687,7 @@ def _build_zgrid_dev(target, origin, cell_size, *, resolution: int,
 @functools.partial(
     jax.jit,
     static_argnames=("resolution", "tile_q", "xy_slots", "zrange",
-                     "first_tie", "return_tie"),
+                     "first_tie", "return_tie", "chunk"),
 )
 def nn_colsweep_z(
     query: jnp.ndarray,
@@ -1660,8 +1699,13 @@ def nn_colsweep_z(
     zrange: int = 512,
     first_tie: bool = False,
     return_tie: bool = False,
+    chunk: int = 3072,
 ):
     """Z-window COLUMN sweep (Pallas) — the volume-regime 1-NN kernel.
+
+    ``chunk``: 3072 measured best on the auto volume config (12 slots ×
+    zrange 512 = 6144 fused lanes; tools/exp_zcol_chunk.py: 32.7 ms at
+    2048, 31.7 at 3072, 32.2 at a single 6144 chunk — bit-exact).
 
     The x-slab sweep (``nn_colsweep``) reads each slab's FULL z column,
     which is the right shape for scan surfaces (z nearly a function of
@@ -1789,7 +1833,7 @@ def nn_colsweep_z(
     out = _sweep_kernel_call(
         base, q32, grid.tgt_t, slabs=xy_slots, trange=zrange,
         tile_q=tile_q, first_tie=first_tie,
-        fused=use_fused, slack=slack if use_fused else None,
+        fused=use_fused, slack=slack if use_fused else None, chunk=chunk,
     )
 
     d2 = out[:, 6, :].reshape(n)

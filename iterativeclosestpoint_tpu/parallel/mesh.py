@@ -82,16 +82,25 @@ def init_multihost(
     mechanically by tests/test_multihost.py::
     test_failure_injection_sigkill_detect_and_resume). None keeps the
     JAX default (100 s)."""
+    kw = {}
+    if heartbeat_timeout_seconds is not None:
+        kw["heartbeat_timeout_seconds"] = heartbeat_timeout_seconds
     if num_processes is not None and num_processes > 1:
-        kw = {}
-        if heartbeat_timeout_seconds is not None:
-            kw["heartbeat_timeout_seconds"] = heartbeat_timeout_seconds
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
             **kw,
         )
+    elif kw and num_processes is None and jax.process_count() == 1:
+        # Cloud-TPU auto-detection path (arguments omitted, cluster
+        # described by the environment): the timeout must reach
+        # jax.distributed.initialize or the detection bound silently
+        # stays at the 100 s default — initialize here with the
+        # auto-detector. Raises on a non-cluster host: the caller
+        # explicitly asked for failed-host detection, so a silent
+        # single-process fallback would be worse.
+        jax.distributed.initialize(**kw)
     if jax.process_count() > 1:
         n_proc = jax.process_count()
         n_local = len(jax.local_devices())
