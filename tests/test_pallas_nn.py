@@ -426,6 +426,11 @@ def test_estimate_grid_params_zcol_regime_refuses_boost():
     )
     est = pn.estimate_grid_params(cloud)
     assert est[0] == base and est[1] == tr_base and est[3] == base, est
+    # The z-window budget is precomputed in the zcol regime (round-5:
+    # the grid build otherwise pays the auto_zrange host pass twice on
+    # the coarse->fine critical path) and must equal the build-time
+    # value so the decision chain stays deterministic.
+    assert est[4] == pn.auto_zrange(cloud, base), est
 
 
 def test_resolve_slab_grid_params_heterogeneous_boost_gate():
