@@ -201,3 +201,26 @@ def test_two_stage_boosted_fine_plane():
     assert res_e.final.nn_resolution == base
     assert res_e.final.source_registered is not None
     assert res_e.final.source_registered.shape == src.shape
+
+
+def test_two_stage_segment_callback_iterations_consecutive():
+    """Segment callbacks (the rolling-checkpoint hook) must see ONE
+    consecutive iteration numbering across the two-stage boundary —
+    stage 2's states are offset by the pre-rung length so a --resume
+    from any checkpoint lands at the right remaining-iteration count."""
+    seen = []
+
+    src, tgt, _ = make_registration_pair(
+        n=25_000, seed=21, noise_sigma=0.02, kind="terrain", extent=100.0
+    )
+    res = icp_register_multiscale(
+        src, tgt, dtype=jnp.float32, nn_backend="pallas",
+        estimator="plane", coarse_max_points=3000, coarse_iterations=10,
+        max_iterations=9, tolerance=0.0, segment_iterations=2,
+        segment_callback=lambda st: seen.append(st["iteration"]),
+        return_registered=False,
+    )
+    assert res.final.iterations == 9
+    # Stage 1 (5 iters, segments of 2): 2, 4, 5; stage 2 (4 iters,
+    # offset +5): 7, 9.
+    assert seen == [2, 4, 5, 7, 9], seen
