@@ -1833,7 +1833,10 @@ def nn_colsweep_z(
     out = _sweep_kernel_call(
         base, q32, grid.tgt_t, slabs=xy_slots, trange=zrange,
         tile_q=tile_q, first_tie=first_tie,
-        fused=use_fused, slack=slack if use_fused else None, chunk=chunk,
+        fused=use_fused, slack=slack if use_fused else None,
+        # The 3072 default is measured on the FUSED form; the slot-wise
+        # fallback (explicit zrange > 2048 only) keeps its proven 2048.
+        chunk=chunk if use_fused else min(chunk, 2048),
     )
 
     d2 = out[:, 6, :].reshape(n)
